@@ -1,0 +1,457 @@
+"""Pallas tile rasterizer: per-tile front-to-back compositing, fwd + bwd.
+
+The TPU-native core of the framework — replaces the gsplat CUDA
+``rasterize_to_pixels`` forward/backward (reference surface:
+``gsplat.rendering.rasterization`` called at
+utils/gsplat_utils/gsplat_trainer.py:477-494). Design (SURVEY.md §7.3):
+
+  - Grid is one program per (camera, tile); the TensorCore runs programs as a
+    sequential pipeline, so ragged per-tile work needs no load balancing.
+  - Each program walks its G-aligned slot range (see ``ops.intersect``) in
+    chunks of G=128, double-buffering HBM->VMEM DMAs of the packed
+    ``[NF, align_cap]`` intersection array.
+  - Front-to-back compositing is vectorized over the chunk: the cumulative
+    transmittance ``T_i = prod_{j<i}(1 - alpha_j)`` is computed in log space
+    with a *strictly-lower-triangular matmul on the MXU*
+    (``tri[G,G] @ log1p(-alpha)[G,P]``) instead of a sequential loop — the
+    idiomatic TPU replacement for the CUDA warp-serial inner loop.
+  - The hand-written backward runs in *forward* order using prefix
+    accumulators (suffix sums rewritten as ``total - prefix``), so it streams
+    the same packed array with the same access pattern and writes
+    per-intersection gradients; per-gaussian reduction happens outside via a
+    segment-sum keyed by ``slot_src`` (never an XLA scatter into slots).
+  - ``absgrad`` (sum of |per-pixel mean2d gradient| used by the reference's
+    densification, gsplat_trainer.py:616-622 DefaultStrategy(absgrad)) is
+    produced as two extra rows of the packed gradient array.
+
+Compositing semantics match ``ops.reference.composite_reference`` exactly and
+are checked by parity tests (fwd + grads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from splat_one_tpu.ops import intersect as isect_mod
+from splat_one_tpu.ops.intersect import NF, IsectData
+from splat_one_tpu.ops.reference import ALPHA_MAX, ALPHA_MIN
+
+# Output-channel rows in the per-tile [OUT_CH, P] block.
+OUT_CH = 8  # r, g, b, alpha, depth, pad, pad, pad
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterCfg:
+    """Static rasterizer configuration (hashable; keys the kernel cache)."""
+
+    width: int
+    height: int
+    tile_size: int
+    num_cameras: int
+    num_gaussians: int
+    chunk: int  # G
+    align_cap: int
+    wrap_x: bool = False  # spherical/equirect azimuth seam wrapping
+
+    @property
+    def tw(self):
+        return -(-self.width // self.tile_size)
+
+    @property
+    def th(self):
+        return -(-self.height // self.tile_size)
+
+    @property
+    def ct(self):
+        return self.num_cameras * self.tw * self.th
+
+    @property
+    def npix(self):
+        return self.tile_size * self.tile_size
+
+
+def _tile_pixel_coords(cfg: RasterCfg, t):
+    """Pixel-center coordinates of tile t as [1, P] rows (px, py)."""
+    ts = cfg.tile_size
+    T = cfg.tw * cfg.th
+    rem = t % T
+    ty = rem // cfg.tw
+    tx = rem % cfg.tw
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.npix), 1)
+    px = (tx * ts + local % ts).astype(jnp.float32) + 0.5
+    py = (ty * ts + local // ts).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _tri_matrices(G):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    tri_strict = (rows > cols).astype(jnp.float32)
+    tri_incl = (rows >= cols).astype(jnp.float32)
+    return tri_strict, tri_incl
+
+
+def _chunk_alpha(chunk, px, py, G, P, wrap_width: int = 0):
+    """Shared forward math for one chunk: returns per-(gaussian, pixel)
+    quantities used by both kernels."""
+    x = chunk[isect_mod.ROW_X, :].reshape(G, 1)
+    y = chunk[isect_mod.ROW_Y, :].reshape(G, 1)
+    ca = chunk[isect_mod.ROW_CA, :].reshape(G, 1)
+    cb = chunk[isect_mod.ROW_CB, :].reshape(G, 1)
+    cc = chunk[isect_mod.ROW_CC, :].reshape(G, 1)
+    op = chunk[isect_mod.ROW_OPAC, :].reshape(G, 1)
+    dx = x - px  # [G, P]
+    if wrap_width:
+        dx = dx - wrap_width * jnp.round(dx * (1.0 / wrap_width))
+    dy = y - py
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    expneg = jnp.exp(-sigma)
+    alpha_raw = op * expneg
+    killed = (sigma < 0.0) | (alpha_raw < ALPHA_MIN)
+    clamped = alpha_raw > ALPHA_MAX
+    alpha = jnp.where(killed, 0.0, jnp.minimum(alpha_raw, ALPHA_MAX))
+    return dict(
+        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, expneg=expneg, alpha=alpha,
+        killed=killed, clamped=clamped,
+    )
+
+
+def _mm(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, out_ref, buf, sems):
+    G, P = cfg.chunk, cfg.npix
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    nchunks = (starts_ref[t + 1] - start) // G
+    px, py = _tile_pixel_coords(cfg, t)
+    tri_strict, _ = _tri_matrices(G)
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(start + k * G, G)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(k, carry):
+        T_row, acc = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        chunk = buf[slot]  # [NF, G]
+        q = _chunk_alpha(chunk, px, py, G, P,
+                        cfg.width if cfg.wrap_x else 0)
+        alpha = q["alpha"]
+        logt = jnp.log1p(-alpha)
+        cum_excl = _mm(tri_strict, logt, (((1,), (0,))))
+        w = alpha * jnp.exp(cum_excl) * T_row  # [G, P]
+        cols = chunk[isect_mod.ROW_R:isect_mod.ROW_R + 8, :]  # [8, G]
+        acc = acc + _mm(cols, w, (((1,), (0,))))
+        T_row = T_row * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
+        return T_row, acc
+
+    T_row, acc = jax.lax.fori_loop(
+        0,
+        nchunks,
+        body,
+        (jnp.ones((1, P), jnp.float32), jnp.zeros((8, P), jnp.float32)),
+    )
+    out_ref[0, 0:3, :] = acc[0:3, :]  # rgb
+    out_ref[0, 3:4, :] = 1.0 - T_row  # alpha
+    out_ref[0, 4:5, :] = acc[3:4, :]  # accumulated depth (row 3 of cols block)
+    out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
+
+
+def _bwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, fwd_ref, gout_ref,
+                pgrad_ref, buf, wbuf, sems, wsems):
+    G, P = cfg.chunk, cfg.npix
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    nchunks = (starts_ref[t + 1] - start) // G
+    px, py = _tile_pixel_coords(cfg, t)
+    tri_strict, tri_incl = _tri_matrices(G)
+
+    out4 = jnp.concatenate(
+        [fwd_ref[0, 0:3, :], fwd_ref[0, 4:5, :]], axis=0
+    )  # [4, P] rgb + depth
+    T_final = 1.0 - fwd_ref[0, 3:4, :]  # [1, P]
+    g4 = jnp.concatenate(
+        [gout_ref[0, 0:3, :], gout_ref[0, 4:5, :]], axis=0
+    )  # [4, P]
+    gA = gout_ref[0, 3:4, :]  # [1, P]
+    go_dot_out = jnp.sum(g4 * out4, axis=0, keepdims=True)  # [1, P]
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(start + k * G, G)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    def put_dma(slot, k):
+        return pltpu.make_async_copy(
+            wbuf.at[slot],
+            pgrad_ref.at[:, pl.ds(start + k * G, G)],
+            wsems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(k, carry):
+        T_row, gPacc = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        # Wait for the write-DMA that last used this wbuf slot (k - 2).
+        @pl.when(k >= 2)
+        def _():
+            put_dma(slot, k - 2).wait()
+
+        chunk = buf[slot]
+        q = _chunk_alpha(chunk, px, py, G, P,
+                        cfg.width if cfg.wrap_x else 0)
+        alpha, expneg = q["alpha"], q["expneg"]
+        dx, dy = q["dx"], q["dy"]
+        logt = jnp.log1p(-alpha)
+        cum_excl = _mm(tri_strict, logt, (((1,), (0,))))
+        T_i = jnp.exp(cum_excl) * T_row  # [G, P]
+        w = alpha * T_i
+        one_m = 1.0 - alpha  # >= 1 - ALPHA_MAX
+
+        cols4 = chunk[isect_mod.ROW_R:isect_mod.ROW_R + 4, :]  # [4, G]
+        cg = _mm(cols4, g4, (((0,), (0,))))  # [G, P]
+        wcg = w * cg
+        prefix_incl = _mm(tri_incl, wcg, (((1,), (0,))))  # [G, P]
+        dalpha = (
+            T_i * cg
+            - (go_dot_out - gPacc - prefix_incl) / one_m
+            + gA * T_final / one_m
+        )
+        # chain rule through alpha = min(opac * exp(-sigma), AMAX), masked.
+        live = jnp.logical_not(q["killed"] | q["clamped"])
+        dsigma = jnp.where(live, -dalpha * alpha, 0.0)
+        dopac_pp = jnp.where(live, dalpha * expneg, 0.0)
+        ddx_pp = dsigma * (q["ca"] * dx + q["cb"] * dy)
+        ddy_pp = dsigma * (q["cc"] * dy + q["cb"] * dx)
+
+        dcols4 = _mm(g4, w, (((1,), (1,))))  # [4, G]
+        dmx = jnp.sum(ddx_pp, axis=1)  # [G]
+        dmy = jnp.sum(ddy_pp, axis=1)
+        dca = jnp.sum(dsigma * 0.5 * dx * dx, axis=1)
+        dcb = jnp.sum(dsigma * dx * dy, axis=1)
+        dcc = jnp.sum(dsigma * 0.5 * dy * dy, axis=1)
+        dop = jnp.sum(dopac_pp, axis=1)
+        absdx = jnp.sum(jnp.abs(ddx_pp), axis=1)
+        absdy = jnp.sum(jnp.abs(ddy_pp), axis=1)
+
+        grad_rows = jnp.concatenate(
+            [
+                dmx.reshape(1, G), dmy.reshape(1, G),
+                dca.reshape(1, G), dcb.reshape(1, G), dcc.reshape(1, G),
+                dop.reshape(1, G),
+                dcols4,  # rows 6..9: dr, dg, db, ddepth
+                absdx.reshape(1, G), absdy.reshape(1, G),
+                jnp.zeros((NF - 12, G), jnp.float32),
+            ],
+            axis=0,
+        )  # [NF, G]
+        wbuf[slot] = grad_rows
+        put_dma(slot, k).start()
+
+        T_row = T_row * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
+        gPacc = gPacc + jnp.sum(wcg, axis=0, keepdims=True)
+        return T_row, gPacc
+
+    jax.lax.fori_loop(
+        0,
+        nchunks,
+        body,
+        (jnp.ones((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)),
+    )
+    # Drain outstanding write DMAs before the program ends.
+    @pl.when(nchunks >= 1)
+    def _():
+        put_dma((nchunks - 1) % 2, nchunks - 1).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        put_dma((nchunks - 2) % 2, nchunks - 2).wait()
+
+
+def _fwd_call(cfg: RasterCfg, starts, packed):
+    G, P = cfg.chunk, cfg.npix
+    grid = (cfg.ct,)
+    kernel = functools.partial(_fwd_kernel, cfg)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, OUT_CH, P), lambda t, s: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, NF, G), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((cfg.ct, OUT_CH, P), jnp.float32),
+        interpret=_use_interpret(),
+    )(starts, packed)
+
+
+def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout):
+    G, P = cfg.chunk, cfg.npix
+    grid = (cfg.ct,)
+    kernel = functools.partial(_bwd_kernel, cfg)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # packed
+                pl.BlockSpec((1, OUT_CH, P), lambda t, s: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # fwd_out
+                pl.BlockSpec((1, OUT_CH, P), lambda t, s: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # gout
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, NF, G), jnp.float32),
+                pltpu.VMEM((2, NF, G), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NF, cfg.align_cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_use_interpret(),
+    )(starts, packed, fwd_out, gout)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_composite_fn(cfg: RasterCfg):
+    """Build the custom-VJP tile compositor for a static config.
+
+    Signature: (means2d, conics, colors, opacities, depths, abs_dummy,
+    slot_src, tile_starts) -> tile_out [CT, OUT_CH, P].
+
+    ``abs_dummy`` is a zeros [C, N, 2] input whose cotangent carries the
+    absgrad accumulation (the JAX equivalent of gsplat's means2d grad hook).
+    ``slot_src`` / ``tile_starts`` are integer layout arrays; their cotangents
+    are None.
+    """
+    C, N = cfg.num_cameras, cfg.num_gaussians
+    M0 = C * N
+
+    def fwd_impl(means2d, conics, colors, opacities, depths, abs_dummy,
+                 slot_src, tile_starts):
+        isect = IsectData(slot_src, tile_starts, None, None, None)
+        packed = isect_mod.pack_fields(
+            means2d, conics, colors, opacities, depths, isect
+        )
+        return _fwd_call(cfg, tile_starts, packed), packed
+
+    @jax.custom_vjp
+    def composite(means2d, conics, colors, opacities, depths, abs_dummy,
+                  slot_src, tile_starts):
+        out, _ = fwd_impl(means2d, conics, colors, opacities, depths,
+                          abs_dummy, slot_src, tile_starts)
+        return out
+
+    def composite_fwd(means2d, conics, colors, opacities, depths, abs_dummy,
+                      slot_src, tile_starts):
+        out, packed = fwd_impl(means2d, conics, colors, opacities, depths,
+                               abs_dummy, slot_src, tile_starts)
+        return out, (packed, slot_src, tile_starts, out)
+
+    def composite_bwd(res, gout):
+        packed, slot_src, tile_starts, fwd_out = res
+        pgrads = _bwd_call(cfg, tile_starts, packed, fwd_out, gout)
+        # Per-gaussian reduction: segment-sum keyed by slot_src (sentinel M0
+        # row collects padding/invalid slots and is dropped).
+        seg = jax.ops.segment_sum(
+            pgrads.T, slot_src, num_segments=M0 + 1
+        )[:M0]  # [M0, NF]
+        g = lambda row: seg[:, row]
+        dmeans2d = jnp.stack(
+            [g(isect_mod.GROW_DX), g(isect_mod.GROW_DY)], axis=-1
+        ).reshape(C, N, 2)
+        dconics = jnp.stack(
+            [g(isect_mod.GROW_DCA), g(isect_mod.GROW_DCB),
+             g(isect_mod.GROW_DCC)], axis=-1
+        ).reshape(C, N, 3)
+        dcolors = jnp.stack(
+            [g(isect_mod.GROW_DR), g(isect_mod.GROW_DG),
+             g(isect_mod.GROW_DB)], axis=-1
+        ).reshape(C, N, 3)
+        dopac = g(isect_mod.GROW_DOPAC).reshape(C, N)
+        ddepth = g(isect_mod.GROW_DDEPTH).reshape(C, N)
+        dabs = jnp.stack(
+            [g(isect_mod.GROW_ABSDX), g(isect_mod.GROW_ABSDY)], axis=-1
+        ).reshape(C, N, 2)
+        return (dmeans2d, dconics, dcolors, dopac, ddepth, dabs, None, None)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+def composite_tiles(
+    cfg: RasterCfg,
+    means2d: jax.Array,  # [C, N, 2]
+    conics: jax.Array,  # [C, N, 3]
+    colors: jax.Array,  # [C, N, 3]
+    opacities: jax.Array,  # [C, N]
+    depths: jax.Array,  # [C, N]
+    isect: IsectData,
+    abs_dummy: jax.Array | None = None,
+):
+    """Differentiable per-tile compositing. Returns [CT, OUT_CH, P]."""
+    if abs_dummy is None:
+        abs_dummy = jnp.zeros_like(means2d)
+    fn = _make_composite_fn(cfg)
+    return fn(means2d, conics, colors, opacities, depths, abs_dummy,
+              isect.slot_src, isect.tile_starts)
+
+
+def tiles_to_image(cfg: RasterCfg, tile_out: jax.Array):
+    """[CT, OUT_CH, P] -> (rgb [C,H,W,3], alpha [C,H,W,1], depth [C,H,W,1])."""
+    C, ts = cfg.num_cameras, cfg.tile_size
+    th, tw = cfg.th, cfg.tw
+    x = tile_out.reshape(C, th, tw, OUT_CH, ts, ts)
+    x = x.transpose(0, 3, 1, 4, 2, 5).reshape(C, OUT_CH, th * ts, tw * ts)
+    x = x[:, :, : cfg.height, : cfg.width]
+    rgb = x[:, 0:3].transpose(0, 2, 3, 1)
+    alpha = x[:, 3:4].transpose(0, 2, 3, 1)
+    depth = x[:, 4:5].transpose(0, 2, 3, 1)
+    return rgb, alpha, depth

@@ -1,0 +1,134 @@
+"""Public rasterization API — the TPU-native ``gsplat.rendering.rasterization``.
+
+Mirrors the exact call surface the reference trainer uses
+(utils/gsplat_utils/gsplat_trainer.py:477-494):
+
+    rasterization(means, quats, scales, opacities, colors, viewmats, Ks,
+                  width, height, sh_degree, render_mode in {RGB, RGB+ED, ED},
+                  rasterize_mode in {classic, antialiased},
+                  camera_model in {pinhole, ortho, fisheye, spherical},
+                  near_plane, far_plane, radius_clip, absgrad)
+      -> (render_colors [C,H,W,3|4], render_alphas [C,H,W,1], info)
+
+``info`` exposes ``radii`` [C, N] and the densification gradient hooks
+(``means2d_dummy`` / ``absgrad_dummy`` cotangent slots) that play the role of
+gsplat's ``info["means2d"].grad`` / ``.absgrad`` consumed by the strategies
+(gsplat_trainer.py:616-622, 744-761).
+
+Pipeline: differentiable EWA projection (ops.projection, plain JAX autodiff)
+-> stop-gradient intersection layout (ops.intersect) -> custom-VJP Pallas tile
+compositing (ops.tile_raster) -> tile-to-image assembly (pure reshapes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from splat_one_tpu.ops import intersect as isect_mod
+from splat_one_tpu.ops import tile_raster
+from splat_one_tpu.ops.intersect import IsectCaps
+from splat_one_tpu.ops.projection import project_gaussians
+from splat_one_tpu.ops.tile_raster import RasterCfg
+
+
+def rasterization(
+    means: jax.Array,  # [N, 3]
+    quats: jax.Array,  # [N, 4]
+    scales: jax.Array,  # [N, 3]
+    opacities: jax.Array,  # [N]
+    colors: jax.Array,  # [N, K, 3] SH coeffs if sh_degree is not None else [N, 3]
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    *,
+    sh_degree: Optional[int] = None,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    tile_size: int = 16,
+    camera_model: str = "pinhole",
+    render_mode: str = "RGB",
+    rasterize_mode: str = "classic",
+    backgrounds: Optional[jax.Array] = None,  # [C, 3]
+    caps: Optional[IsectCaps] = None,
+    alive: Optional[jax.Array] = None,  # [N] bool (fixed-capacity buffers)
+    means2d_dummy: Optional[jax.Array] = None,  # [C, N, 2] grad hook
+    absgrad_dummy: Optional[jax.Array] = None,  # [C, N, 2] absgrad hook
+):
+    """Render gaussians into C cameras. Fully differentiable.
+
+    Returns ``(render_colors, render_alphas, info)``; ``info`` holds
+    ``radii`` [C, N] (stop-gradient), the isect layout, and overflow flag.
+    """
+    if render_mode not in ("RGB", "RGB+ED", "ED", "D"):
+        raise ValueError(f"bad render_mode {render_mode!r}")
+    if rasterize_mode not in ("classic", "antialiased"):
+        raise ValueError(f"bad rasterize_mode {rasterize_mode!r}")
+    N = means.shape[0]
+    C = viewmats.shape[0]
+
+    sh = colors if sh_degree is not None else None
+    flat_colors = colors if sh_degree is None else None
+    proj = project_gaussians(
+        means, quats, scales, opacities, viewmats, Ks, width, height,
+        sh_coeffs=sh, sh_degree=(sh_degree or 0), colors=flat_colors,
+        camera_model=camera_model, near_plane=near_plane, far_plane=far_plane,
+        radius_clip=radius_clip,
+        antialiased=(rasterize_mode == "antialiased"), alive=alive,
+    )
+    means2d = proj.means2d
+    if means2d_dummy is not None:
+        # Zero-valued input whose cotangent equals d(loss)/d(means2d) — the
+        # JAX analog of gsplat's retained means2d.grad for densification.
+        means2d = means2d + means2d_dummy
+
+    cfg = RasterCfg(
+        width=width, height=height, tile_size=tile_size,
+        num_cameras=C, num_gaussians=N,
+        chunk=(caps.chunk if caps else 128),
+        align_cap=0,  # filled below
+    )
+    if caps is None:
+        caps = IsectCaps.choose(N, C, cfg.tw * cfg.th, chunk=cfg.chunk)
+    cfg = RasterCfg(
+        width=width, height=height, tile_size=tile_size,
+        num_cameras=C, num_gaussians=N, chunk=caps.chunk,
+        align_cap=caps.align_cap, wrap_x=(camera_model == "spherical"),
+    )
+
+    proj_sg = jax.lax.stop_gradient(proj)
+    isect = isect_mod.build_intersections(
+        proj_sg, width, height, tile_size, caps, camera_model=camera_model
+    )
+
+    tile_out = tile_raster.composite_tiles(
+        cfg, means2d, proj.conics, proj.colors, proj.opacities, proj.depths,
+        isect, abs_dummy=absgrad_dummy,
+    )
+    rgb, alpha, depth = tile_raster.tiles_to_image(cfg, tile_out)
+
+    if backgrounds is not None:
+        rgb = rgb + (1.0 - alpha) * backgrounds[:, None, None, :]
+
+    if render_mode == "RGB":
+        render = rgb
+    elif render_mode == "RGB+ED":
+        render = jnp.concatenate([rgb, depth], axis=-1)
+    else:  # ED / D
+        render = depth
+
+    info = {
+        "radii": proj.radii,
+        "depths": proj.depths,
+        "valid": proj.valid,
+        "n_isect": isect.n_isect,
+        "overflow": isect.overflow,
+        "width": width,
+        "height": height,
+        "n_cameras": C,
+    }
+    return render, alpha, info
