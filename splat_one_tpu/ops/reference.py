@@ -35,6 +35,7 @@ def composite_reference(
     height: int,
     chunk: int = 256,
     wrap_x: bool = False,
+    tile_size: int = 16,
 ):
     """Composite projected gaussians over a full image, per camera.
 
@@ -51,6 +52,14 @@ def composite_reference(
     px = px.reshape(-1)  # [P]
     py = py.reshape(-1)
 
+    # Tile membership mask: the tile path only composites a gaussian into
+    # pixels whose tile lies in its bbox (3-sigma radius, tile-granular).
+    # Replicate it exactly (same arithmetic as intersect.tile_spans).
+    TW = -(-width // tile_size)
+    TH = -(-height // tile_size)
+    ptx = (px // tile_size).astype(jnp.int32)  # [P]
+    pty = (py // tile_size).astype(jnp.int32)
+
     def per_camera(p: Projected):
         # Depth-sort; invalid gaussians to the back with zero opacity.
         order = jnp.argsort(jnp.where(p.valid, p.depths, jnp.inf))
@@ -59,23 +68,27 @@ def composite_reference(
         con = p.conics[order]
         col = p.colors[order]
         dep = p.depths[order]
+        rad = p.radii[order]
 
         def pad(x):
             w = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(x, w)
 
-        opac, xy, con, col, dep = map(pad, (opac, xy, con, col, dep))
+        opac, xy, con, col, dep, rad = map(pad, (opac, xy, con, col, dep, rad))
         n_chunks = (N + n_pad) // chunk
         resh = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
-        opac, xy, con, col, dep = map(resh, (opac, xy, con, col, dep))
+        opac, xy, con, col, dep, rad = map(
+            resh, (opac, xy, con, col, dep, rad)
+        )
 
         def body(carry, inp):
             T, rgb, dsum = carry
-            o, xy_c, con_c, col_c, dep_c = inp
+            o, xy_c, con_c, col_c, dep_c, rad_c = inp
             dx = xy_c[:, 0:1] - px[None, :]  # [G, P]
             if wrap_x:
                 # spherical/equirect azimuth seam: shortest wrapped distance
-                dx = dx - width * jnp.round(dx / width)
+                # (expression kept bit-identical to the tile kernel's)
+                dx = dx - width * jnp.round(dx * (1.0 / width))
             dy = xy_c[:, 1:2] - py[None, :]
             a, b, c = con_c[:, 0:1], con_c[:, 1:2], con_c[:, 2:3]
             sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
@@ -83,6 +96,23 @@ def composite_reference(
             alpha = jnp.where(sigma < 0, 0.0, alpha)
             alpha = jnp.minimum(alpha, ALPHA_MAX)
             alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
+            # tile-bbox truncation (matches intersect.tile_spans)
+            u, v = xy_c[:, 0:1], xy_c[:, 1:2]
+            r = rad_c[:, None]
+            ty0 = jnp.clip(jnp.floor((v - r) / tile_size), 0, TH)
+            ty1 = jnp.clip(jnp.ceil((v + r) / tile_size), 0, TH)
+            in_y = (pty[None, :] >= ty0) & (pty[None, :] < ty1)
+            if wrap_x:
+                tx0 = jnp.floor((u - r) / tile_size)
+                tx1 = jnp.ceil((u + r) / tile_size)
+                span = jnp.minimum(tx1 - tx0, TW)
+                rel = jnp.mod(ptx[None, :] - tx0.astype(jnp.int32), TW)
+                in_x = rel < span
+            else:
+                tx0 = jnp.clip(jnp.floor((u - r) / tile_size), 0, TW)
+                tx1 = jnp.clip(jnp.ceil((u + r) / tile_size), 0, TW)
+                in_x = (ptx[None, :] >= tx0) & (ptx[None, :] < tx1)
+            alpha = jnp.where(in_x & in_y, alpha, 0.0)
             logt = jnp.log1p(-alpha)
             # exclusive prefix of log-transmittance within the chunk
             cum_excl = jnp.cumsum(logt, axis=0) - logt
@@ -97,7 +127,9 @@ def composite_reference(
             jnp.zeros((P, D), jnp.float32),
             jnp.zeros((P, 1), jnp.float32),
         )
-        (T, rgb, dsum), _ = jax.lax.scan(body, init, (opac, xy, con, col, dep))
+        (T, rgb, dsum), _ = jax.lax.scan(
+            body, init, (opac, xy, con, col, dep, rad)
+        )
         alpha_img = 1.0 - T
         return (
             rgb.reshape(height, width, D),

