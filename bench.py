@@ -1,0 +1,94 @@
+"""Headline benchmark: differentiable rasterization throughput at 1M gaussians.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+Measures full forward+backward (projection -> intersection -> Pallas tile
+compositing -> hand-written VJP -> per-gaussian grad reduction) at 1M
+gaussians, 1280x720, on the attached TPU chip — the BASELINE.json north-star
+"Mpix/s fwd+bwd @ 1M Gaussians" (the reference publishes no numbers;
+BASELINE.md). ``vs_baseline`` is measured against a documented nominal of
+30 Mpix/s fwd+bwd — the ballpark of the reference's gsplat CUDA rasterizer
+training Mip-NeRF-360 garden (~1.1 Mpix) at ~25-35 it/s on A100 (gsplat
+paper, arXiv 2409.06765 context in PAPERS.md).
+
+Timing methodology: the step is iterated inside one jitted fori_loop on
+device (one host round-trip per measurement) — host<->device round-trips on
+the axon tunnel are ~28 ms and would otherwise dominate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+NOMINAL_GPU_MPIX_S = 30.0
+N_GAUSS = 1_000_000
+W, H = 1280, 720
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from splat_one_tpu.ops.intersect import IsectCaps
+    from splat_one_tpu.render.rasterization import rasterization
+
+    rng = np.random.default_rng(0)
+    means = rng.uniform(-1, 1, (N_GAUSS, 3)).astype(np.float32)
+    means[:, 2] += 4
+    quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
+    scales = (np.exp(rng.uniform(-6.5, -5.0, (N_GAUSS, 3))) * 3).astype(
+        np.float32
+    )
+    opac = rng.uniform(0.3, 1.0, N_GAUSS).astype(np.float32)
+    sh = (rng.normal(size=(N_GAUSS, 16, 3)) * 0.3).astype(np.float32)
+    viewmats = np.eye(4, dtype=np.float32)[None]
+    Ks = np.array(
+        [[[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]]], np.float32
+    )
+    caps = IsectCaps.choose(
+        N_GAUSS, 1, (-(-W // 16)) * (-(-H // 16)),
+        avg_tiles_per_gaussian=6.0,
+    )
+    args = tuple(
+        jnp.asarray(x)
+        for x in (means, quats, scales, opac, sh, viewmats, Ks)
+    )
+
+    def loss_fn(means, quats, scales, opac, sh, vm, Ks):
+        render, alpha, info = rasterization(
+            means, quats, scales, opac, sh, vm, Ks, W, H,
+            sh_degree=3, render_mode="RGB+ED", caps=caps,
+        )
+        return jnp.sum(render) + jnp.sum(alpha), info["n_isect"]
+
+    @jax.jit
+    def bench_loop(*a):
+        def body(i, carry):
+            m = a[0] + carry * 1e-30
+            (l, n), g = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)(
+                m, *a[1:]
+            )
+            return carry + l * 0 + jnp.sum(g) * 0 + 1e-30
+        return jax.lax.fori_loop(0, ITERS, body, 0.0)
+
+    # compile + warm up
+    float(bench_loop(*args))
+    t0 = time.time()
+    float(bench_loop(*args))
+    dt = (time.time() - t0 - 0.028) / ITERS  # subtract tunnel round-trip
+
+    mpix_s = W * H / dt / 1e6
+    out = {
+        "metric": "fwd_bwd_mpix_per_s_1m_gaussians_720p_1chip",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / NOMINAL_GPU_MPIX_S, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Synthetic scene generation for tests and benchmarks.
+
+Generates a ground-truth gaussian scene, renders it from a ring of cameras
+with the oracle-consistent rasterizer, and returns a :class:`SceneData` —
+the test-harness role BASELINE.json config 1 assigns to the "synthetic
+5k-gaussian sphere scene".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from splat_one_tpu.core.transforms import make_viewmat
+from splat_one_tpu.render.rasterization import rasterization
+from splat_one_tpu.ops.intersect import IsectCaps
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)):
+    """c2w with +z forward (OpenCV convention, y down)."""
+    f = target - eye
+    f = f / np.linalg.norm(f)
+    up = np.asarray(up, np.float64)
+    r = np.cross(up, f) * -1.0
+    r = np.cross(f, up)
+    r = r / (np.linalg.norm(r) + 1e-12)
+    d = np.cross(f, r)
+    R = np.stack([r, d, f], axis=1)  # columns: right, down, forward
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = R
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def ring_cameras(n: int, radius: float, height: float, fov_deg: float,
+                 width: int, height_px: int):
+    c2ws, Ks = [], []
+    f = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        eye = np.array(
+            [radius * np.cos(a), height, radius * np.sin(a)], np.float64
+        )
+        c2ws.append(look_at(eye, np.zeros(3)))
+        Ks.append(
+            np.array(
+                [[f, 0, width / 2], [0, f, height_px / 2], [0, 0, 1]],
+                np.float32,
+            )
+        )
+    return np.stack(c2ws), np.stack(Ks)
+
+
+def make_gt_gaussians(n: int, seed: int = 0, extent: float = 1.0):
+    rng = np.random.default_rng(seed)
+    # clustered blobs on a sphere surface + volume fill
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    r = extent * np.abs(rng.normal(0.7, 0.25, (n, 1)))
+    means = (d * r).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.2, -3.0, (n, 3))).astype(np.float32) * extent
+    opac = rng.uniform(0.4, 0.95, n).astype(np.float32)
+    rgb = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    return means, quats, scales, opac, rgb
+
+
+def make_synthetic_scene(
+    n_gaussians: int = 2000,
+    n_cameras: int = 12,
+    width: int = 128,
+    height: int = 128,
+    n_points: int = 500,
+    seed: int = 0,
+    camera_model: str = "pinhole",
+):
+    """Returns (SceneData, gt_params). GT images rendered by our rasterizer
+    from a known gaussian scene, so a trainer fitting them has an achievable
+    optimum."""
+    from splat_one_tpu.core.sh import rgb_to_sh
+    from splat_one_tpu.core.transforms import invert_se3
+    from splat_one_tpu.train.trainer import SceneData
+
+    means, quats, scales, opac, rgb = make_gt_gaussians(n_gaussians, seed)
+    if camera_model == "spherical":
+        c2ws = np.tile(np.eye(4, dtype=np.float32), (n_cameras, 1, 1))
+        rng = np.random.default_rng(seed + 1)
+        c2ws[:, :3, 3] = rng.uniform(-0.3, 0.3, (n_cameras, 3))
+        Ks = np.tile(np.eye(3, dtype=np.float32), (n_cameras, 1, 1))
+    else:
+        c2ws, Ks = ring_cameras(n_cameras, 3.0, -0.8, 60.0, width, height)
+    sh0 = np.asarray(rgb_to_sh(jnp.asarray(rgb)))[:, None, :]
+
+    viewmats = np.asarray(invert_se3(jnp.asarray(c2ws)))
+    caps = IsectCaps.choose(
+        n_gaussians, n_cameras,
+        (-(-width // 16)) * (-(-height // 16)),
+    )
+    render, alpha, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh0), jnp.asarray(viewmats),
+        jnp.asarray(Ks), width, height, sh_degree=0,
+        camera_model=camera_model, caps=caps,
+    )
+    images = np.clip(np.asarray(render), 0.0, 1.0)
+
+    # SfM-like init points: subsample GT means with color noise
+    rng = np.random.default_rng(seed + 2)
+    sel = rng.choice(n_gaussians, size=min(n_points, n_gaussians),
+                     replace=False)
+    points = means[sel] + rng.normal(0, 0.01, (len(sel), 3)).astype(np.float32)
+    points_rgb = np.clip(
+        rgb[sel] + rng.normal(0, 0.05, (len(sel), 3)), 0, 1
+    ).astype(np.float32)
+
+    scene = SceneData(
+        camtoworlds=c2ws, Ks=Ks, images=images.astype(np.float32),
+        points=points, points_rgb=points_rgb, scene_scale=1.0,
+        camera_model=camera_model,
+    )
+    gt = dict(means=means, quats=quats, scales=scales, opacities=opac,
+              rgb=rgb)
+    return scene, gt

@@ -140,9 +140,13 @@ def project_gaussians(
         if sh_coeffs is not None:
             campos = -R.T @ t
             dirs = means - campos
-            dirs = dirs / jnp.maximum(
-                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
+            # sqrt(sum + eps) keeps the gradient finite at dirs == 0 (dead
+            # fixed-capacity slots sit exactly at the camera origin);
+            # jnp.linalg.norm's VJP is NaN there.
+            dnorm = jnp.sqrt(
+                jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20
             )
+            dirs = dirs / dnorm
             col = shlib.eval_sh(sh_degree, sh_coeffs, dirs) + 0.5
             col = jnp.maximum(col, 0.0)
         elif colors is not None:

@@ -19,17 +19,20 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=4)
 def _gaussian_window(size: int = 11, sigma: float = 1.5):
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-0.5 * (x / sigma) ** 2)
-    g = g / jnp.sum(g)
-    return jnp.outer(g, g)  # [size, size]
+    # numpy on purpose: a cached jnp array traced under jit would leak tracers
+    import numpy as np
+
+    x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g = g / g.sum()
+    return np.outer(g, g)  # [size, size]
 
 
 def _blur(x: jax.Array, window: jax.Array) -> jax.Array:
     """Depthwise 'valid' convolution of NHWC input with a single 2D window."""
     n, h, w, c = x.shape
     k = window.shape[0]
-    kern = jnp.tile(window[:, :, None, None], (1, 1, 1, c))  # [k, k, 1, C]
+    kern = jnp.tile(jnp.asarray(window)[:, :, None, None], (1, 1, 1, c))
     return jax.lax.conv_general_dilated(
         x,
         kern,

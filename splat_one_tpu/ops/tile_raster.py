@@ -316,7 +316,7 @@ def _fwd_call(cfg: RasterCfg, starts, packed):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, OUT_CH, P), lambda t, s: (t, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -341,13 +341,13 @@ def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout):
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # packed
+                pl.BlockSpec(memory_space=pl.ANY),  # packed
                 pl.BlockSpec((1, OUT_CH, P), lambda t, s: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # fwd_out
                 pl.BlockSpec((1, OUT_CH, P), lambda t, s: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # gout
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, NF, G), jnp.float32),
                 pltpu.VMEM((2, NF, G), jnp.float32),

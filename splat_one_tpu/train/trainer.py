@@ -1,0 +1,506 @@
+"""Training engine — the TPU-native ``Runner`` (reference
+utils/gsplat_utils/gsplat_trainer.py:287-940).
+
+Host loop + jitted pure train/refine/eval steps over fixed-capacity splat
+buffers. Differences from the reference by design (SURVEY.md §7.4):
+  - densification never resizes tensors (capacity buffers + alive mask);
+  - SH degree ramps by *masking* coefficient bands with a traced step (the
+    reference passes a changing ``sh_degree`` int, which would recompile);
+  - optimizer is the per-param Adam in ``train.optimizers`` with optional
+    visibility-masked (SelectiveAdam) updates;
+  - checkpoints carry optimizer + strategy state (the reference saves only
+    splats, gsplat_trainer.py:682-703) so training resume is lossless.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splat_one_tpu.core import gaussians as G
+from splat_one_tpu.core.sh import num_sh_bases
+from splat_one_tpu.core.transforms import invert_se3
+from splat_one_tpu.ops.intersect import IsectCaps
+from splat_one_tpu.render.rasterization import rasterization
+from splat_one_tpu.train import losses as L
+from splat_one_tpu.train import optimizers as opt
+from splat_one_tpu.train import pose_opt as P
+from splat_one_tpu.train import strategy as S
+from splat_one_tpu.train.config import Config
+from splat_one_tpu.train.strategy import DefaultStrategyCfg, MCMCStrategyCfg
+
+
+class SceneData(NamedTuple):
+    """Host-side training data (produced by the data layer parsers)."""
+
+    camtoworlds: np.ndarray  # [M, 4, 4]
+    Ks: np.ndarray  # [M, 3, 3]
+    images: np.ndarray  # [M, H, W, 3] float32 in [0, 1] (or uint8)
+    points: np.ndarray  # [Npts, 3] SfM points
+    points_rgb: np.ndarray  # [Npts, 3] in [0, 1]
+    scene_scale: float
+    camera_model: str = "pinhole"
+    depths: Optional[np.ndarray] = None  # [M, H, W, 1] optional supervision
+    image_names: Optional[list] = None
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, jax.Array]
+    opt_state: opt.AdamState
+    alive: jax.Array
+    strat: S.StrategyState
+    step: jax.Array
+    pose_params: Optional[jax.Array] = None
+    pose_opt_state: Optional[opt.AdamState] = None
+
+
+def _sh_band_degrees(sh_degree: int) -> np.ndarray:
+    """Degree of each non-DC SH coefficient row (rows 1..K-1)."""
+    K = num_sh_bases(sh_degree)
+    return np.array([int(np.floor(np.sqrt(i))) for i in range(1, K)], np.int32)
+
+
+class Trainer:
+    """Train/eval/render driver over one scene."""
+
+    def __init__(self, cfg: Config, scene: SceneData, result_dir: str = None):
+        self.cfg = cfg.adjust_steps()
+        cfg = self.cfg
+        self.scene = scene
+        self.result_dir = result_dir or cfg.result_dir
+        os.makedirs(self.result_dir, exist_ok=True)
+        for sub in ("ckpts", "stats", "renders", "videos"):
+            os.makedirs(os.path.join(self.result_dir, sub), exist_ok=True)
+
+        M, H, W = scene.images.shape[:3]
+        self.height, self.width = H, W
+        self.n_images = M
+        idx = np.arange(M)
+        self.val_idx = idx[idx % cfg.test_every == 0]
+        self.train_idx = idx[idx % cfg.test_every != 0]
+
+        # splat init (reference create_splats_with_optimizers, :204-281)
+        n0 = (
+            scene.points.shape[0]
+            if cfg.init_type == "sfm"
+            else cfg.init_num_pts
+        )
+        capacity = cfg.capacity or _next_pow2(
+            int(n0 * cfg.capacity_headroom)
+        )
+        if isinstance(cfg.strategy, MCMCStrategyCfg):
+            capacity = max(capacity, _next_pow2(cfg.strategy.cap_max))
+        if cfg.init_type == "sfm":
+            params, alive = G.init_splats_from_points(
+                scene.points, scene.points_rgb, capacity,
+                sh_degree=cfg.sh_degree, init_opacity=cfg.init_opa,
+                init_scale=cfg.init_scale, seed=cfg.seed,
+            )
+        else:
+            params, alive = G.init_splats_random(
+                capacity, cfg.init_num_pts,
+                cfg.init_extent * scene.scene_scale,
+                sh_degree=cfg.sh_degree, init_opacity=cfg.init_opa,
+                init_scale=cfg.init_scale, seed=cfg.seed,
+            )
+        self.capacity = capacity
+        opt_state = opt.adam_init(params)
+
+        pose_params = pose_opt_state = None
+        if cfg.pose_opt:
+            pose_params = P.init_pose_params(M)
+            pose_opt_state = opt.adam_init({"pose": pose_params})
+
+        self.state = TrainState(
+            params=params, opt_state=opt_state, alive=alive,
+            strat=S.strategy_init(capacity), step=jnp.zeros((), jnp.int32),
+            pose_params=pose_params, pose_opt_state=pose_opt_state,
+        )
+        self.caps = IsectCaps.choose(
+            capacity, cfg.batch_size,
+            _n_tiles(W, H, cfg.tile_size),
+            avg_tiles_per_gaussian=cfg.avg_tiles_per_gaussian,
+        )
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self._band_deg = jnp.asarray(_sh_band_degrees(cfg.sh_degree))
+        self._hp = opt.adam_hparams(cfg.batch_size)
+        self._lrs_base = opt.base_lrs(scene.scene_scale * cfg.global_scale)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg = self.cfg
+        W, H = self.width, self.height
+        caps = self.caps
+        hp = self._hp
+        band_deg = self._band_deg
+        is_mcmc = isinstance(cfg.strategy, MCMCStrategyCfg)
+
+        def render_batch(params, alive, camtoworlds, Ks, step, sh_full=True):
+            means = params["means"]
+            quats = params["quats"]
+            scales = jnp.exp(params["scales"])
+            opac = jax.nn.sigmoid(params["opacities"])
+            active = jnp.minimum(
+                step // cfg.sh_degree_interval, cfg.sh_degree
+            )
+            mask = (band_deg <= active).astype(jnp.float32)[None, :, None]
+            sh = jnp.concatenate(
+                [params["sh0"], params["shN"] * mask], axis=1
+            )
+            viewmats = invert_se3(camtoworlds)
+            B = camtoworlds.shape[0]
+            dummy = jnp.zeros((B, means.shape[0], 2))
+            render, alpha, info = rasterization(
+                means, quats, scales, opac, sh, viewmats, Ks, W, H,
+                sh_degree=cfg.sh_degree,
+                near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                tile_size=cfg.tile_size, camera_model=cfg.camera_model,
+                render_mode="RGB+ED",
+                rasterize_mode=(
+                    "antialiased" if cfg.antialiased else "classic"
+                ),
+                caps=caps, alive=alive,
+                means2d_dummy=dummy,
+                absgrad_dummy=dummy,
+            )
+            return render, alpha, info
+
+        def loss_fn(params, pose_params, dummies, batch, alive, step, key):
+            camtoworlds = batch["camtoworld"]
+            if cfg.pose_opt:
+                embeds = pose_params[batch["image_id"]]
+                camtoworlds = P.apply_pose_adjust(camtoworlds, embeds)
+            means = params["means"]
+            quats = params["quats"]
+            scales = jnp.exp(params["scales"])
+            opac = jax.nn.sigmoid(params["opacities"])
+            active = jnp.minimum(
+                step // cfg.sh_degree_interval, cfg.sh_degree
+            )
+            mask = (band_deg <= active).astype(jnp.float32)[None, :, None]
+            sh = jnp.concatenate(
+                [params["sh0"], params["shN"] * mask], axis=1
+            )
+            viewmats = invert_se3(camtoworlds)
+            render, alpha, info = rasterization(
+                means, quats, scales, opac, sh, viewmats, batch["K"], W, H,
+                sh_degree=cfg.sh_degree,
+                near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                tile_size=cfg.tile_size, camera_model=cfg.camera_model,
+                render_mode="RGB+ED",
+                rasterize_mode=(
+                    "antialiased" if cfg.antialiased else "classic"
+                ),
+                caps=caps, alive=alive,
+                means2d_dummy=dummies["m2d"],
+                absgrad_dummy=dummies["abs"],
+            )
+            rgb = render[..., 0:3]
+            depth_r = render[..., 3:4]
+            if cfg.random_bkgd:
+                bkgd = jax.random.uniform(key, (1, 1, 1, 3))
+                rgb = rgb + bkgd * (1.0 - alpha)
+            m = L.image_loss(rgb, batch["image"], cfg.ssim_lambda)
+            loss = m["loss"]
+            if cfg.depth_loss and "depth" in batch:
+                dl = L.depth_loss(depth_r, alpha, batch["depth"])
+                loss = loss + cfg.depth_lambda * dl
+                m["depthloss"] = dl
+            loss = loss + L.regularizers(
+                params, alive, cfg.opacity_reg, cfg.scale_reg
+            )
+            m["loss"] = loss
+            aux = dict(
+                metrics=m, radii=info["radii"], n_isect=info["n_isect"],
+                overflow=info["overflow"],
+            )
+            return loss, aux
+
+        def train_step(state: TrainState, batch, key):
+            step = state.step
+            B = batch["camtoworld"].shape[0]
+            dummies = {
+                "m2d": jnp.zeros((B, self.capacity, 2)),
+                "abs": jnp.zeros((B, self.capacity, 2)),
+            }
+            # a zero placeholder keeps value_and_grad happy when pose_opt
+            # is off (grads of None primals are not allowed)
+            pose_in = (
+                state.pose_params if cfg.pose_opt else jnp.zeros((0, 9))
+            )
+            grad_fn = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )
+            (loss, aux), (gp, gpose, gdum) = grad_fn(
+                state.params, pose_in, dummies, batch,
+                state.alive, step, key,
+            )
+            # densification statistics (absgrad or plain grad per strategy)
+            use_abs = (
+                (not is_mcmc) and getattr(cfg.strategy, "absgrad", False)
+            )
+            stat_grad = gdum["abs"] if use_abs else gdum["m2d"]
+            strat = S.strategy_update(
+                state.strat, stat_grad, aux["radii"], W, H
+            )
+
+            lrs = {
+                k: v * hp["lr_scale"] for k, v in self._lrs_base.items()
+            }
+            lrs["means"] = lrs["means"] * opt.means_lr_decay(
+                step, cfg.max_steps
+            )
+            visible = None
+            if cfg.visible_adam:
+                visible = jnp.any(aux["radii"] > 0, axis=0)
+            params, opt_state = opt.adam_update(
+                gp, state.opt_state, state.params, lrs,
+                b1=hp["b1"], b2=hp["b2"], eps=hp["eps"],
+                visible_mask=visible,
+            )
+            pose_params, pose_opt_state = state.pose_params, state.pose_opt_state
+            if cfg.pose_opt:
+                gpose_wd = gpose + cfg.pose_opt_reg * state.pose_params
+                pp, pose_opt_state = opt.adam_update(
+                    {"pose": gpose_wd}, state.pose_opt_state,
+                    {"pose": state.pose_params},
+                    {"pose": jnp.asarray(cfg.pose_opt_lr)},
+                )
+                pose_params = pp["pose"]
+            if is_mcmc:
+                # SGLD noise injection every step (MCMC strategy)
+                params = S.mcmc_noise(
+                    key, params, state.alive, lrs["means"],
+                    cfg.strategy.noise_lr,
+                )
+            new_state = TrainState(
+                params=params, opt_state=opt_state, alive=state.alive,
+                strat=strat, step=step + 1,
+                pose_params=pose_params, pose_opt_state=pose_opt_state,
+            )
+            metrics = dict(aux["metrics"])
+            metrics["n_isect"] = aux["n_isect"]
+            metrics["overflow"] = aux["overflow"]
+            return new_state, metrics
+
+        def refine_step(state: TrainState, key):
+            if is_mcmc:
+                params, opt_state, alive, info = S.mcmc_refine(
+                    key, state.params, state.opt_state, state.alive,
+                    cfg.strategy,
+                )
+                return state._replace(
+                    params=params, opt_state=opt_state, alive=alive,
+                    strat=S.strategy_init(self.capacity),
+                ), info
+            params, opt_state, alive, strat, info = S.default_refine(
+                key, state.params, state.opt_state, state.alive,
+                state.strat, state.step, cfg.strategy,
+                self.scene.scene_scale,
+            )
+            return state._replace(
+                params=params, opt_state=opt_state, alive=alive, strat=strat
+            ), info
+
+        def reset_step(state: TrainState):
+            params, opt_state = S.reset_opacity(
+                state.params, state.opt_state, state.alive,
+                cfg.strategy.prune_opa,
+            )
+            return state._replace(params=params, opt_state=opt_state)
+
+        def eval_render(state: TrainState, camtoworld, K):
+            render, alpha, _ = render_batch(
+                state.params, state.alive, camtoworld, K,
+                jnp.asarray(cfg.max_steps),
+            )
+            rgb = jnp.clip(render[..., 0:3], 0.0, 1.0)
+            depth = render[..., 3:4] / jnp.clip(alpha, 1e-6, None)
+            return rgb, alpha, depth
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._refine_step = jax.jit(refine_step, donate_argnums=(0,))
+        self._reset_step = jax.jit(reset_step, donate_argnums=(0,))
+        self._eval_render = jax.jit(eval_render)
+
+    # ------------------------------------------------------------------
+    def _batch(self, idx: np.ndarray) -> Dict[str, jax.Array]:
+        imgs = self.scene.images[idx]
+        if imgs.dtype == np.uint8:
+            imgs = imgs.astype(np.float32) / 255.0
+        b = {
+            "camtoworld": jnp.asarray(self.scene.camtoworlds[idx]),
+            "K": jnp.asarray(self.scene.Ks[idx]),
+            "image": jnp.asarray(imgs),
+            "image_id": jnp.asarray(idx.astype(np.int32)),
+        }
+        if self.cfg.depth_loss and self.scene.depths is not None:
+            b["depth"] = jnp.asarray(self.scene.depths[idx])
+        return b
+
+    def train(self, log_every: int = 100, stop_flag=None):
+        """Run the training loop (reference Runner.train, :499-777)."""
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        strat_cfg = cfg.strategy
+        is_mcmc = isinstance(strat_cfg, MCMCStrategyCfg)
+        t_start = time.time()
+        perm = rng.permutation(self.train_idx)
+        pos = 0
+        history = []
+        for step in range(int(self.state.step), cfg.max_steps):
+            if stop_flag is not None and stop_flag():
+                break
+            if pos + cfg.batch_size > len(perm):
+                perm = rng.permutation(self.train_idx)
+                pos = 0
+            idx = perm[pos:pos + cfg.batch_size]
+            pos += cfg.batch_size
+            self.key, k1, k2 = jax.random.split(self.key, 3)
+            self.state, metrics = self._train_step(
+                self.state, self._batch(idx), k1
+            )
+            # densification schedule (gsplat step_post_backward semantics)
+            if (
+                strat_cfg.refine_start_iter
+                <= step
+                < strat_cfg.refine_stop_iter
+                and (step + 1) % strat_cfg.refine_every == 0
+            ):
+                self.state, rinfo = self._refine_step(self.state, k2)
+            if (
+                not is_mcmc
+                and (step + 1) % strat_cfg.reset_every == 0
+                and step < strat_cfg.refine_stop_iter
+            ):
+                self.state = self._reset_step(self.state)
+
+            if (step + 1) % log_every == 0 or step == cfg.max_steps - 1:
+                m = {
+                    k: float(v)
+                    for k, v in metrics.items()
+                    if hasattr(v, "item") or np.isscalar(v)
+                }
+                m["step"] = step + 1
+                m["num_GS"] = int(G.n_alive(self.state.alive))
+                m["time_s"] = time.time() - t_start
+                history.append(m)
+            if (step + 1) in cfg.save_steps:
+                self.save_checkpoint(step + 1)
+            if (step + 1) in cfg.eval_steps:
+                self.eval(step + 1)
+        return history
+
+    # ------------------------------------------------------------------
+    def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
+        """PSNR/SSIM over the validation split (reference Runner.eval,
+        :779-841); stats JSON under results/stats/."""
+        from splat_one_tpu.ops.ssim import ssim as ssim_fn
+
+        psnrs, ssims, times = [], [], []
+        for i in self.val_idx:
+            b = self._batch(np.array([i]))
+            t0 = time.time()
+            rgb, alpha, depth = self._eval_render(
+                self.state, b["camtoworld"], b["K"]
+            )
+            rgb = jax.block_until_ready(rgb)
+            times.append(time.time() - t0)
+            psnrs.append(float(L.psnr(rgb, b["image"])))
+            ssims.append(float(ssim_fn(rgb, b["image"])))
+        stats = {
+            "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+            "ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "ellipse_time": float(np.mean(times[1:])) if len(times) > 1 else 0.0,
+            "num_GS": int(G.n_alive(self.state.alive)),
+        }
+        path = os.path.join(
+            self.result_dir, "stats", f"{stage}_step{step:04d}.json"
+        )
+        with open(path, "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, step: int):
+        """Orbax-free simple checkpoint: params + optimizer + strategy state
+        (richer than the reference's splats-only ckpt, :682-703)."""
+        path = os.path.join(self.result_dir, "ckpts", f"ckpt_{step}.npz")
+        flat = {}
+
+        def add(prefix, tree):
+            leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+            for kp, v in leaves:
+                flat[prefix + jax.tree_util.keystr(kp)] = np.asarray(v)
+
+        add("params", self.state.params)
+        add("opt_m", self.state.opt_state.m)
+        add("opt_v", self.state.opt_state.v)
+        flat["opt_count"] = np.asarray(self.state.opt_state.count)
+        flat["alive"] = np.asarray(self.state.alive)
+        flat["step"] = np.asarray(self.state.step)
+        if self.state.pose_params is not None:
+            flat["pose_params"] = np.asarray(self.state.pose_params)
+        np.savez(path, **flat)
+        return path
+
+    def load_checkpoint(self, path: str):
+        z = np.load(path)
+        params = {
+            k.split("['")[1].rstrip("']"): jnp.asarray(z[k])
+            for k in z.files
+            if k.startswith("params[")
+        }
+        m = {
+            k.split("['")[1].rstrip("']"): jnp.asarray(z[k])
+            for k in z.files
+            if k.startswith("opt_m[")
+        }
+        v = {
+            k.split("['")[1].rstrip("']"): jnp.asarray(z[k])
+            for k in z.files
+            if k.startswith("opt_v[")
+        }
+        self.state = self.state._replace(
+            params=params,
+            opt_state=opt.AdamState(
+                m=m, v=v, count=jnp.asarray(z["opt_count"])
+            ),
+            alive=jnp.asarray(z["alive"]),
+            step=jnp.asarray(z["step"]),
+            pose_params=(
+                jnp.asarray(z["pose_params"])
+                if "pose_params" in z.files
+                else self.state.pose_params
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def render_view(self, camtoworld: np.ndarray, K: np.ndarray):
+        """Interactive single-view render (reference _viewer_render_fn,
+        :916-940)."""
+        rgb, alpha, depth = self._eval_render(
+            self.state,
+            jnp.asarray(camtoworld[None]),
+            jnp.asarray(K[None]),
+        )
+        return np.asarray(rgb[0]), np.asarray(depth[0])
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _n_tiles(width: int, height: int, ts: int) -> int:
+    return (-(-width // ts)) * (-(-height // ts))
