@@ -62,6 +62,7 @@ class IsectCaps:
                chunk: int = 128, avg_tiles_per_gaussian: float = 8.0):
         exp_cap = int(num_cameras * num_gaussians * avg_tiles_per_gaussian)
         exp_cap = max(exp_cap, 1024)
+        exp_cap = -(-exp_cap // chunk) * chunk
         align_cap = exp_cap + num_cameras * num_tiles * chunk
         return IsectCaps(exp_cap=exp_cap, align_cap=align_cap, chunk=chunk)
 
@@ -218,6 +219,11 @@ def build_intersections(
     )  # [CT + 1]
     n_slots = starts_al[-1]
     overflow |= n_slots > AL
+    # SAFETY: on overflow the kernels would otherwise DMA past align_cap
+    # (out-of-bounds HBM reads hang the chip). Clamp to the last whole-chunk
+    # boundary; truncation is reported via the overflow flag.
+    starts_al = jnp.minimum(starts_al, (AL // G) * G)
+    n_slots = starts_al[-1]
 
     t_of_p = _index_of_slot(starts_al[:-1], AL)  # [AL]
     tmeta = jnp.stack([starts_al[:-1], tile_counts, raw_starts[:-1]], axis=1)
