@@ -1,0 +1,253 @@
+"""Two-view geometry: essential matrix, RANSAC, pose recovery, triangulation.
+
+TPU-native replacement for the two-view estimation inside OpenSfM's C++ core
+(reference capability surface: robust matching thresholds and five-point /
+RANSAC config in config/config.yaml:79-90, consumed by
+``match_features``/``reconstruct`` actions). Design: the 8-point algorithm on
+*bearing vectors* (camera-model agnostic — works for pinhole, fisheye and
+spherical alike, which is how OpenSfM handles panoramas) inside a fully
+vmapped RANSAC: all hypotheses are evaluated in one batched SVD + one
+[hyp, n] angular-error matrix — no data-dependent loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _essential_8pt(b1: jax.Array, b2: jax.Array) -> jax.Array:
+    """Essential matrix from >= 8 bearing correspondences ([n,3] each) via
+    the linear (8-point) algorithm + rank-2 projection. Returns [3,3]."""
+    # rows: kron(b2, b1) so that b2^T E b1 = 0
+    A = jnp.einsum("ni,nj->nij", b2, b1).reshape(-1, 9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    E = vt[-1].reshape(3, 3)
+    u, s, vt2 = jnp.linalg.svd(E)
+    s_fix = jnp.array([1.0, 1.0, 0.0], E.dtype) * (s[0] + s[1]) / 2.0
+    return u @ jnp.diag(s_fix) @ vt2
+
+
+def _epipolar_angle_error(E: jax.Array, b1: jax.Array, b2: jax.Array):
+    """Angular epipolar error (OpenSfM-style): sine of the angle between b2
+    and the epipolar plane of b1 (symmetric)."""
+    Eb1 = b1 @ E.T  # [n,3] epipolar plane normals in cam2
+    Etb2 = b2 @ E  # normals in cam1
+    num = jnp.abs(jnp.sum(b2 * Eb1, axis=-1))
+    d1 = num / jnp.maximum(jnp.linalg.norm(Eb1, axis=-1), 1e-12)
+    d2 = num / jnp.maximum(jnp.linalg.norm(Etb2, axis=-1), 1e-12)
+    return jnp.maximum(d1, d2)
+
+
+class RansacResult(NamedTuple):
+    E: jax.Array  # [3, 3]
+    inliers: jax.Array  # [n] bool
+    n_inliers: jax.Array  # []
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_essential(
+    key: jax.Array,
+    b1: jax.Array,  # [n, 3] unit bearings in camera 1
+    b2: jax.Array,  # [n, 3]
+    valid: jax.Array,  # [n] bool (padding mask)
+    threshold: float = 0.004,  # sine-angle threshold (config.yaml
+    # robust_matching_threshold analog)
+    n_hyp: int = 256,
+) -> RansacResult:
+    """Fully-batched RANSAC: n_hyp 8-point hypotheses evaluated at once."""
+    n = b1.shape[0]
+    # sample 8 correspondences per hypothesis, biased to valid ones
+    logits = jnp.where(valid, 0.0, -1e9)
+    idx = jax.random.categorical(key, logits, shape=(n_hyp, 8))
+    s1 = b1[idx]  # [hyp, 8, 3]
+    s2 = b2[idx]
+    Es = jax.vmap(_essential_8pt)(s1, s2)  # [hyp, 3, 3]
+    errs = jax.vmap(lambda E: _epipolar_angle_error(E, b1, b2))(Es)
+    inl = (errs < threshold) & valid[None, :]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    E_out = Es[best]
+    inl_out = inl[best]
+    best_score = scores[best]
+    # iterative refit on inliers (weighted 8-point, IRLS-style): each round
+    # re-estimates E from the current inlier set and re-classifies.
+    rows = jnp.einsum("ni,nj->nij", b2, b1).reshape(-1, 9)
+    for _ in range(3):
+        w = inl_out.astype(b1.dtype)
+        A = rows * w[:, None]
+        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+        E_ref = vt[-1].reshape(3, 3)
+        u, s, vt2 = jnp.linalg.svd(E_ref)
+        E_ref = (
+            u @ jnp.diag(jnp.array([1.0, 1.0, 0.0]) * (s[0] + s[1]) / 2) @ vt2
+        )
+        errs_ref = _epipolar_angle_error(E_ref, b1, b2)
+        inl_ref = (errs_ref < threshold) & valid
+        better = jnp.sum(inl_ref) >= best_score
+        E_out = jnp.where(better, E_ref, E_out)
+        inl_out = jnp.where(better, inl_ref, inl_out)
+        best_score = jnp.maximum(best_score, jnp.sum(inl_ref))
+    return RansacResult(E_out, inl_out, jnp.sum(inl_out))
+
+
+def triangulate(
+    R1, t1, R2, t2, b1: jax.Array, b2: jax.Array
+) -> jax.Array:
+    """Midpoint-free linear (DLT-style) triangulation from bearings.
+
+    (R, t) are world->camera. Returns world points [n, 3]. Camera-model
+    agnostic: rows constrain the point to each bearing's ray."""
+
+    def rows(R, t, b):
+        # two independent constraints orthogonal to the bearing
+        e = jnp.where(
+            jnp.abs(b[..., 2:3]) < 0.9,
+            jnp.array([0.0, 0.0, 1.0]),
+            jnp.array([1.0, 0.0, 0.0]),
+        )
+        u = jnp.cross(b, e)
+        u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+        v = jnp.cross(b, u)
+        # u . (R X + t) = 0 and v . (R X + t) = 0
+        A1 = u @ R
+        c1 = -jnp.sum(u * t, axis=-1)
+        A2 = v @ R
+        c2 = -jnp.sum(v * t, axis=-1)
+        return jnp.stack([A1, A2], -2), jnp.stack([c1, c2], -1)
+
+    A1, c1 = rows(R1, t1, b1)
+    A2, c2 = rows(R2, t2, b2)
+    A = jnp.concatenate([A1, A2], axis=-2)  # [n, 4, 3]
+    c = jnp.concatenate([c1, c2], axis=-1)  # [n, 4]
+    AtA = jnp.einsum("nij,nik->njk", A, A)
+    Atc = jnp.einsum("nij,ni->nj", A, c)
+    return jnp.linalg.solve(
+        AtA + 1e-9 * jnp.eye(3), Atc[..., None]
+    )[..., 0]
+
+
+def decompose_essential(
+    E: jax.Array, b1: jax.Array, b2: jax.Array, valid: jax.Array
+):
+    """E -> (R, t) world(cam1)->cam2 with cheirality check over the four
+    candidate decompositions. Returns (R [3,3], t [3], n_good)."""
+    u, _, vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    u = u * jnp.sign(jnp.linalg.det(u))
+    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    W = jnp.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    R_cands = jnp.stack([u @ W @ vt, u @ W.T @ vt])
+    t_cands = jnp.stack([u[:, 2], -u[:, 2]])
+
+    eye = jnp.eye(3)
+    zero = jnp.zeros(3)
+
+    def count_front(R, t):
+        X = triangulate(eye, zero, R, t, b1, b2)
+        d1 = jnp.sum(X * b1, axis=-1)  # depth along ray 1
+        Xc2 = X @ R.T + t
+        d2 = jnp.sum(Xc2 * b2, axis=-1)
+        return jnp.sum((d1 > 0) & (d2 > 0) & valid)
+
+    counts = jnp.stack(
+        [
+            count_front(R_cands[i], t_cands[j])
+            for i in range(2)
+            for j in range(2)
+        ]
+    )
+    k = jnp.argmax(counts)
+    R = R_cands[k // 2]
+    t = t_cands[k % 2]
+    return R, t, counts[k]
+
+
+def pnp_dlt(
+    points: jax.Array,  # [n, 3] world points
+    bearings: jax.Array,  # [n, 3] unit bearings
+    valid: jax.Array,  # [n]
+):
+    """Linear resection (bearing-based DLT): solve world->camera (R, t) from
+    >= 6 correspondences; rotation projected to SO(3). Used to register new
+    images during incremental reconstruction (OpenSfM resection analog)."""
+    w = valid.astype(points.dtype)
+
+    # constraints: bearing x (R X + t) = 0 -> 2 independent rows each
+    def make_rows(X, b):
+        e = jnp.where(
+            jnp.abs(b[2]) < 0.9,
+            jnp.array([0.0, 0.0, 1.0]),
+            jnp.array([1.0, 0.0, 0.0]),
+        )
+        u = jnp.cross(b, e)
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+        v = jnp.cross(b, u)
+        # u.(RX + t) = 0: row over [r11..r33, t1..t3]
+        r1 = jnp.concatenate([jnp.kron(u, X), u])
+        r2 = jnp.concatenate([jnp.kron(v, X), v])
+        return jnp.stack([r1, r2])
+
+    rows = jax.vmap(make_rows)(points, bearings)  # [n, 2, 12]
+    rows = rows * w[:, None, None]
+    A = rows.reshape(-1, 12)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    sol = vt[-1]
+    R_raw = sol[:9].reshape(3, 3)
+    t_raw = sol[9:]
+    # project to SO(3); fix scale and sign
+    u, s, vt2 = jnp.linalg.svd(R_raw)
+    det = jnp.linalg.det(u @ vt2)
+    R = u @ jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.sign(det)) @ vt2
+    scale = jnp.sign(det) * 3.0 / jnp.maximum(jnp.sum(s), 1e-12)
+    t = t_raw * scale
+    # cheirality: majority of points should be in front
+    d = jnp.sum((points @ R.T + t) * bearings, axis=-1)
+    flip = jnp.sum(jnp.where(valid, jnp.sign(d), 0.0)) < 0
+    R = jnp.where(flip, -R, R)
+    t = jnp.where(flip, -t, t)
+    # -R is not a rotation; re-project
+    u3, _, vt3 = jnp.linalg.svd(R)
+    R = u3 @ jnp.diag(
+        jnp.array([1.0, 1.0, jnp.linalg.det(u3 @ vt3)])
+    ) @ vt3
+    return R, t
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_pnp(
+    key: jax.Array,
+    points: jax.Array,  # [n, 3]
+    bearings: jax.Array,  # [n, 3]
+    valid: jax.Array,
+    threshold: float = 0.01,  # angular (sine) reprojection threshold
+    n_hyp: int = 128,
+):
+    """Batched RANSAC resection: n_hyp DLT hypotheses from 6-point samples."""
+    logits = jnp.where(valid, 0.0, -1e9)
+    idx = jax.random.categorical(key, logits, shape=(n_hyp, 6))
+    Rs, ts = jax.vmap(
+        lambda i: pnp_dlt(points[i], bearings[i], jnp.ones(6, bool))
+    )(idx)
+
+    def err(R, t):
+        p = points @ R.T + t
+        p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+        return jnp.linalg.norm(jnp.cross(p, bearings), axis=-1)
+
+    errs = jax.vmap(err)(Rs, ts)
+    inl = (errs < threshold) & valid[None]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    # refit on inliers
+    R_ref, t_ref = pnp_dlt(points, bearings, inl[best])
+    e_ref = err(R_ref, t_ref)
+    inl_ref = (e_ref < threshold) & valid
+    better = jnp.sum(inl_ref) >= scores[best]
+    R = jnp.where(better, R_ref, Rs[best])
+    t = jnp.where(better, t_ref, ts[best])
+    inliers = jnp.where(better, inl_ref, inl[best])
+    return R, t, inliers, jnp.sum(inliers)

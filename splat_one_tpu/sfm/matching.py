@@ -1,0 +1,128 @@
+"""Feature matching: pair selection + batched descriptor matching.
+
+TPU-native replacement for OpenSfM's ``match_features`` action (reference
+surface: app/feature_matching.py:68-118 — Brute-Force/FLANN/LIGHTGLUE
+matchers, pair selection by GPS distance / time / order / exhaustive,
+``lowes_ratio`` and symmetric matching from config/config.yaml:62-90).
+
+Brute-force matching is a single descriptor matmul on the MXU per pair
+(128-D descriptors, [K, K] score matrix) with Lowe ratio + mutual-nearest
+tests — batched over pairs with vmap. A LightGlue-style attention matcher
+plugs in behind the same interface (models.lightglue_tpu).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from itertools import combinations
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pairs_to_match(
+    n_images: int,
+    *,
+    order_neighbors: int = 0,
+    gps_positions: Optional[np.ndarray] = None,
+    gps_neighbors: int = 0,
+    max_pairs: Optional[int] = None,
+) -> List[Tuple[int, int]]:
+    """Candidate pair selection (reference matching_* config keys,
+    config.yaml:62-76): exhaustive by default, optionally restricted to
+    sequence-order neighbors and/or GPS nearest neighbors."""
+    pairs = set()
+    if order_neighbors <= 0 and gps_neighbors <= 0:
+        pairs = set(combinations(range(n_images), 2))
+    if order_neighbors > 0:
+        for i in range(n_images):
+            for j in range(i + 1, min(i + 1 + order_neighbors, n_images)):
+                pairs.add((i, j))
+    if gps_neighbors > 0 and gps_positions is not None:
+        d = np.linalg.norm(
+            gps_positions[:, None] - gps_positions[None], axis=-1
+        )
+        for i in range(n_images):
+            for j in np.argsort(d[i])[1 : gps_neighbors + 1]:
+                pairs.add((min(i, int(j)), max(i, int(j))))
+    out = sorted(pairs)
+    if max_pairs is not None:
+        out = out[:max_pairs]
+    return out
+
+
+@partial(jax.jit, static_argnames=())
+def match_descriptors(
+    d1: jax.Array,  # [K, D] L2-normalized
+    d2: jax.Array,  # [K, D]
+    valid1: jax.Array,  # [K]
+    valid2: jax.Array,  # [K]
+    ratio: float = 0.8,  # lowes_ratio (config.yaml:80)
+):
+    """Mutual-nearest + Lowe-ratio matching. Returns (idx2 [K], ok [K]):
+    for each feature in image 1, its match in image 2 (or invalid)."""
+    sim = d1 @ d2.T  # cosine similarity, MXU
+    neg = -1e9
+    sim = jnp.where(valid1[:, None] & valid2[None, :], sim, neg)
+    # distances: for rootSIFT descriptors, d^2 = 2 - 2 sim
+    best2 = jnp.argmax(sim, axis=1)  # [K]
+    s_sorted = jax.lax.top_k(sim, 2)[0]  # [K, 2]
+    d_first = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s_sorted[:, 0], 0.0))
+    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s_sorted[:, 1], 1e-12))
+    pass_ratio = d_first < ratio * d_second
+    # mutual check
+    best1_of2 = jnp.argmax(sim, axis=0)  # [K] for image-2 features
+    mutual = best1_of2[best2] == jnp.arange(d1.shape[0])
+    ok = pass_ratio & mutual & valid1 & (s_sorted[:, 0] > neg / 2)
+    return best2, ok
+
+
+def match_pairs_brute_force(
+    descriptors: Sequence[np.ndarray],  # per-image [K, D]
+    valids: Sequence[np.ndarray],
+    pairs: Sequence[Tuple[int, int]],
+    ratio: float = 0.8,
+    progress_callback=None,
+):
+    """Match a list of image pairs; returns {pair: [M, 2] index arrays}.
+    (The reference exposes a progress counter for the GUI,
+    app/feature_matching.py:57-63 — ``progress_callback(i, total)`` plays
+    that role.)"""
+    out = {}
+    for n, (i, j) in enumerate(pairs):
+        idx2, ok = match_descriptors(
+            jnp.asarray(descriptors[i]), jnp.asarray(descriptors[j]),
+            jnp.asarray(valids[i]), jnp.asarray(valids[j]), ratio=ratio,
+        )
+        ok = np.asarray(ok)
+        idx2 = np.asarray(idx2)
+        m1 = np.nonzero(ok)[0]
+        out[(i, j)] = np.stack([m1, idx2[m1]], axis=-1)
+        if progress_callback is not None:
+            progress_callback(n + 1, len(pairs))
+    return out
+
+
+def robust_filter_matches(
+    key,
+    matches: np.ndarray,  # [M, 2]
+    bearings1: np.ndarray,  # [K, 3]
+    bearings2: np.ndarray,
+    threshold: float = 0.008,
+    min_matches: int = 16,
+):
+    """Two-view geometric verification of putative matches (the reference's
+    robust matching step inside match_features). Returns filtered matches."""
+    from splat_one_tpu.sfm.geometry import ransac_essential
+
+    if len(matches) < min_matches:
+        return matches[:0]
+    b1 = jnp.asarray(bearings1[matches[:, 0]])
+    b2 = jnp.asarray(bearings2[matches[:, 1]])
+    res = ransac_essential(
+        key, b1, b2, jnp.ones(len(matches), bool), threshold=threshold
+    )
+    inl = np.asarray(res.inliers)
+    return matches[inl]

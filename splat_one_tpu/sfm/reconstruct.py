@@ -1,0 +1,329 @@
+"""Incremental Structure-from-Motion driver.
+
+TPU-native replacement for OpenSfM's ``reconstruct`` action with
+``ReconstructionAlgorithm.INCREMENTAL`` (reference surface:
+app/point_cloud_visualizer.py:44-50,118-121; config keys
+config/config.yaml:117-134 — resection/triangulation thresholds, local/global
+bundle intervals, outlier filtering).
+
+Host-side control loop (graph bookkeeping) around the jitted TPU pieces:
+two-view RANSAC init, batched PnP resection, padded multi-view
+triangulation, and the LM/Schur bundle adjuster (sfm.ba). BA problem shapes
+are padded to power-of-two buckets so the jitted solver recompiles only a
+handful of times over a full reconstruction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splat_one_tpu.sfm import ba as ba_mod
+from splat_one_tpu.sfm import geometry as geo
+
+
+@dataclasses.dataclass
+class ReconstructConfig:
+    init_min_inliers: int = 50
+    resection_min_inliers: int = 15
+    ransac_threshold: float = 0.006
+    triangulation_min_angle_deg: float = 1.0
+    bundle_interval: int = 5  # global BA every N registrations
+    bundle_max_iterations: int = 12  # config.yaml:115 analog
+    outlier_threshold: float = 0.01  # angular reprojection
+    min_parallax_deg: float = 2.0  # init-pair parallax requirement
+
+
+@dataclasses.dataclass
+class Reconstruction:
+    """Result container (the framework's ``reconstruction.json`` analog)."""
+
+    poses: Dict[int, np.ndarray]  # image -> [6] (rvec, t) world->cam
+    points: Dict[int, np.ndarray]  # track id -> xyz
+    report: Dict
+
+
+def _rvec_from_R(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> angle-axis (host)."""
+    tr = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    theta = np.arccos(tr)
+    if theta < 1e-8:
+        return np.zeros(3)
+    v = np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+    if np.linalg.norm(v) < 1e-10:  # theta ~ pi
+        # extract axis from R + I
+        M = (R + np.eye(3)) / 2
+        axis = np.sqrt(np.maximum(np.diag(M), 0))
+        axis = axis / (np.linalg.norm(axis) + 1e-12)
+        return axis * theta
+    return v / np.linalg.norm(v) * theta
+
+
+def triangulate_nview(
+    Rs: np.ndarray, ts: np.ndarray, bs: np.ndarray
+) -> Tuple[np.ndarray, float]:
+    """Multi-view DLT triangulation of one track (host, tiny). Returns
+    (point, max pairwise ray angle in deg)."""
+    A_rows, c_rows = [], []
+    for R, t, b in zip(Rs, ts, bs):
+        e = (
+            np.array([0.0, 0, 1.0])
+            if abs(b[2]) < 0.9
+            else np.array([1.0, 0, 0])
+        )
+        u = np.cross(b, e)
+        u /= np.linalg.norm(u) + 1e-12
+        v = np.cross(b, u)
+        A_rows += [u @ R, v @ R]
+        c_rows += [-u @ t, -v @ t]
+    A = np.stack(A_rows)
+    c = np.asarray(c_rows)
+    X, *_ = np.linalg.lstsq(A, c, rcond=None)
+    # parallax: max angle between viewing rays (world frame)
+    dirs = []
+    for R, t in zip(Rs, ts):
+        center = -R.T @ t
+        d = X - center
+        dirs.append(d / (np.linalg.norm(d) + 1e-12))
+    max_ang = 0.0
+    for i in range(len(dirs)):
+        for j in range(i + 1, len(dirs)):
+            ang = np.degrees(
+                np.arccos(np.clip(dirs[i] @ dirs[j], -1, 1))
+            )
+            max_ang = max(max_ang, ang)
+    return X, max_ang
+
+
+def _reproj_ok(pose: np.ndarray, X: np.ndarray, b: np.ndarray, thr: float):
+    R = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+    p = R @ X + pose[3:]
+    n = np.linalg.norm(p)
+    if n < 1e-9:
+        return False
+    p = p / n
+    return (np.linalg.norm(np.cross(p, b)) < thr) and (p @ b > 0)
+
+
+def incremental_reconstruct(
+    bearings: List[np.ndarray],  # per image [K, 3] unit bearings
+    tracks: List[Dict[int, int]],  # track -> {image: feature}
+    pair_inliers: Dict[Tuple[int, int], int],  # match counts per pair
+    cfg: ReconstructConfig = ReconstructConfig(),
+    seed: int = 0,
+) -> Reconstruction:
+    key = jax.random.PRNGKey(seed)
+    n_images = len(bearings)
+    obs_of_image: List[List[Tuple[int, int]]] = [
+        [] for _ in range(n_images)
+    ]  # image -> [(track, feature)]
+    for tid, tr in enumerate(tracks):
+        for img, feat in tr.items():
+            obs_of_image[img].append((tid, feat))
+
+    report = {"steps": []}
+
+    # ---- init pair: most inliers among candidates, checked for parallax
+    def common_tracks(i, j):
+        out = []
+        for tid, tr in enumerate(tracks):
+            if i in tr and j in tr:
+                out.append((tid, tr[i], tr[j]))
+        return out
+
+    best = None
+    for (i, j), n_inl in sorted(
+        pair_inliers.items(), key=lambda kv: -kv[1]
+    )[:10]:
+        com = common_tracks(i, j)
+        if len(com) < cfg.init_min_inliers:
+            continue
+        b1 = np.stack([bearings[i][f1] for _, f1, _ in com])
+        b2 = np.stack([bearings[j][f2] for _, _, f2 in com])
+        key, k1 = jax.random.split(key)
+        res = geo.ransac_essential(
+            k1, jnp.asarray(b1), jnp.asarray(b2),
+            jnp.ones(len(com), bool), threshold=cfg.ransac_threshold,
+        )
+        if int(res.n_inliers) < cfg.init_min_inliers:
+            continue
+        R, t, n_good = geo.decompose_essential(
+            res.E, jnp.asarray(b1), jnp.asarray(b2), res.inliers
+        )
+        # parallax check on triangulated inliers
+        X = np.asarray(
+            geo.triangulate(
+                jnp.eye(3), jnp.zeros(3), R, t,
+                jnp.asarray(b1), jnp.asarray(b2),
+            )
+        )
+        inl = np.asarray(res.inliers)
+        rays1 = X[inl]
+        rays2 = X[inl] - np.asarray(-(np.asarray(R).T @ np.asarray(t)))
+        cosang = np.sum(rays1 * rays2, -1) / (
+            np.linalg.norm(rays1, axis=-1)
+            * np.linalg.norm(rays2, axis=-1)
+            + 1e-12
+        )
+        med_ang = np.degrees(np.arccos(np.clip(np.median(cosang), -1, 1)))
+        if med_ang < cfg.min_parallax_deg:
+            continue
+        best = (i, j, com, np.asarray(R), np.asarray(t), inl, X)
+        break
+    if best is None:
+        return Reconstruction({}, {}, {"error": "no valid init pair"})
+
+    i0, j0, com, R, t, inl, X = best
+    poses: Dict[int, np.ndarray] = {
+        i0: np.zeros(6, np.float32),
+        j0: np.concatenate([_rvec_from_R(R), t]).astype(np.float32),
+    }
+    points: Dict[int, np.ndarray] = {}
+    for k_c, (tid, f1, f2) in enumerate(com):
+        if inl[k_c] and X[k_c] @ bearings[i0][f1] > 0:
+            points[tid] = X[k_c].astype(np.float32)
+    report["steps"].append(
+        {"init_pair": (i0, j0), "init_points": len(points)}
+    )
+
+    def run_bundle():
+        nonlocal poses, points
+        img_list = sorted(poses)
+        pt_list = sorted(points)
+        img_of = {im: a for a, im in enumerate(img_list)}
+        pt_of = {p: a for a, p in enumerate(pt_list)}
+        ci, pi, bs = [], [], []
+        for tid in pt_list:
+            for img, feat in tracks[tid].items():
+                if img in poses:
+                    ci.append(img_of[img])
+                    pi.append(pt_of[tid])
+                    bs.append(bearings[img][feat])
+        if not ci:
+            return
+        # pad to buckets to bound recompiles of the jitted solver
+        E = len(ci)
+        Epad = 1 << (E - 1).bit_length()
+        pad = Epad - E
+        ci = np.asarray(ci + [0] * pad, np.int32)
+        pi = np.asarray(pi + [0] * pad, np.int32)
+        bs = np.concatenate(
+            [np.stack(bs), np.tile([[0, 0, 1.0]], (pad, 1))]
+        ).astype(np.float32)
+        valid = np.arange(Epad) < E
+        problem = ba_mod.build_problem(
+            ci, pi, bs, len(img_list), len(pt_list), valid=valid
+        )
+        cams = jnp.asarray(np.stack([poses[im] for im in img_list]))
+        pts = jnp.asarray(np.stack([points[p] for p in pt_list]))
+        cams, pts, info = ba_mod.bundle_adjust(
+            cams, pts, problem,
+            ba_mod.BAConfig(max_iterations=cfg.bundle_max_iterations),
+        )
+        cams = np.asarray(cams)
+        pts = np.asarray(pts)
+        for a, im in enumerate(img_list):
+            poses[im] = cams[a]
+        for a, p in enumerate(pt_list):
+            points[p] = pts[a]
+        # outlier filtering (config.yaml bundle_outlier_* analog)
+        removed = 0
+        for tid in list(points.keys()):
+            oks = [
+                _reproj_ok(
+                    poses[img], points[tid], bearings[img][feat],
+                    cfg.outlier_threshold,
+                )
+                for img, feat in tracks[tid].items()
+                if img in poses
+            ]
+            if sum(oks) < 2:
+                del points[tid]
+                removed += 1
+        report["steps"].append(
+            {"bundle": len(img_list), "removed": removed,
+             "cost": float(info["final_cost"])}
+        )
+
+    run_bundle()
+
+    # ---- incremental registration loop
+    since_bundle = 0
+    while True:
+        # next image: most triangulated observations
+        cand_scores = {}
+        for img in range(n_images):
+            if img in poses:
+                continue
+            n_seen = sum(
+                1 for tid, _ in obs_of_image[img] if tid in points
+            )
+            if n_seen >= cfg.resection_min_inliers:
+                cand_scores[img] = n_seen
+        if not cand_scores:
+            break
+        img = max(cand_scores, key=cand_scores.get)
+        obs = [
+            (tid, feat)
+            for tid, feat in obs_of_image[img]
+            if tid in points
+        ]
+        X = np.stack([points[tid] for tid, _ in obs])
+        bb = np.stack([bearings[img][feat] for _, feat in obs])
+        key, k1 = jax.random.split(key)
+        R_est, t_est, inliers, n_inl = geo.ransac_pnp(
+            k1, jnp.asarray(X), jnp.asarray(bb),
+            jnp.ones(len(obs), bool), threshold=cfg.outlier_threshold,
+        )
+        if int(n_inl) < cfg.resection_min_inliers:
+            # cannot register this one reliably; drop it from candidates
+            obs_of_image[img] = []
+            continue
+        poses[img] = np.concatenate(
+            [_rvec_from_R(np.asarray(R_est)), np.asarray(t_est)]
+        ).astype(np.float32)
+        report["steps"].append(
+            {"resection": img, "inliers": int(n_inl), "of": len(obs)}
+        )
+
+        # triangulate new tracks now observable from >= 2 registered views
+        n_new = 0
+        for tid, feat in obs_of_image[img]:
+            if tid in points:
+                continue
+            regs = [
+                (im, f) for im, f in tracks[tid].items() if im in poses
+            ]
+            if len(regs) < 2:
+                continue
+            Rs = [
+                np.asarray(ba_mod._rodrigues(jnp.asarray(poses[im][:3])))
+                for im, _ in regs
+            ]
+            ts = [poses[im][3:] for im, _ in regs]
+            bs = [bearings[im][f] for im, f in regs]
+            Xp, ang = triangulate_nview(Rs, ts, bs)
+            if ang < cfg.triangulation_min_angle_deg:
+                continue
+            if all(
+                _reproj_ok(poses[im], Xp, bearings[im][f],
+                           cfg.outlier_threshold * 2)
+                for im, f in regs
+            ):
+                points[tid] = Xp.astype(np.float32)
+                n_new += 1
+        since_bundle += 1
+        if since_bundle >= cfg.bundle_interval:
+            run_bundle()
+            since_bundle = 0
+
+    run_bundle()
+    report["n_images"] = len(poses)
+    report["n_points"] = len(points)
+    return Reconstruction(poses, points, report)

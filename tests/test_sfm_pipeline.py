@@ -1,0 +1,147 @@
+"""End-to-end SfM pipeline tests: detector, matcher, tracks, incremental
+reconstruction — on synthetic scenes with known ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splat_one_tpu.sfm import features as F
+from splat_one_tpu.sfm import matching as M
+from splat_one_tpu.sfm import reconstruct as RC
+from splat_one_tpu.sfm import tracks as T
+from splat_one_tpu.sfm.ba import _rodrigues
+
+
+class TestDetector:
+    def test_detects_blobs(self):
+        # image with gaussian blobs at known locations
+        rng = np.random.default_rng(0)
+        H = W = 128
+        img = np.zeros((H, W), np.float32)
+        centers = [(40, 40), (40, 90), (90, 40), (90, 90), (64, 64)]
+        yy, xx = np.mgrid[0:H, 0:W]
+        for cy, cx in centers:
+            img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0**2))
+        img += rng.normal(0, 0.01, img.shape).astype(np.float32)
+        feats = F.extract_features(jnp.asarray(img), max_keypoints=64)
+        kp = np.asarray(feats.xys)[np.asarray(feats.valid)]
+        assert len(kp) >= len(centers)
+        # each blob must have a keypoint within a few pixels
+        for cy, cx in centers:
+            d = np.linalg.norm(kp - np.array([cx, cy]), axis=-1).min()
+            assert d < 4.0, (cy, cx, d)
+
+    def test_descriptor_shift_invariance(self):
+        # same texture, translated image -> matched descriptors
+        rng = np.random.default_rng(1)
+        base = rng.uniform(size=(160, 160)).astype(np.float32)
+        # smooth to make it band-limited
+        import scipy.ndimage as ndi
+
+        base = ndi.gaussian_filter(base, 2.0).astype(np.float32)
+        img1 = base[16:144, 16:144]
+        img2 = base[20:148, 12:140]  # shifted by (+4, -4)
+        f1 = F.extract_features(jnp.asarray(img1), max_keypoints=256)
+        f2 = F.extract_features(jnp.asarray(img2), max_keypoints=256)
+        idx2, ok = M.match_descriptors(
+            f1.descriptors, f2.descriptors, f1.valid, f2.valid
+        )
+        ok = np.asarray(ok)
+        assert ok.sum() >= 20
+        xy1 = np.asarray(f1.xys)[ok]
+        xy2 = np.asarray(f2.xys)[np.asarray(idx2)[ok]]
+        shift = xy2 - xy1  # expect (+4, -4) in (x, y)
+        med = np.median(shift, axis=0)
+        np.testing.assert_allclose(med, [4.0, -4.0], atol=1.0)
+
+
+def synth_multiview(n_cams=8, n_pts=300, noise=5e-4, seed=0):
+    """Cameras on an arc viewing a point cloud; per-point descriptors."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-1, 1, (n_pts, 3))
+    X[:, 2] += 6
+    desc = rng.normal(size=(n_pts, 128)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    poses, bearings, descs, valids = [], [], [], []
+    for c in range(n_cams):
+        rvec = np.array([0.0, -0.25 + 0.06 * c, 0.0])
+        t = np.array([1.2 - 0.35 * c, 0.02 * c, 0.0])
+        pose = np.concatenate([rvec, t]).astype(np.float32)
+        R = np.asarray(_rodrigues(jnp.asarray(rvec)))
+        p = X @ R.T + t
+        b = p / np.linalg.norm(p, axis=-1, keepdims=True)
+        b += rng.normal(0, noise, b.shape)
+        b /= np.linalg.norm(b, axis=-1, keepdims=True)
+        poses.append(pose)
+        bearings.append(b.astype(np.float32))
+        d = desc + rng.normal(0, 0.05, desc.shape).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        descs.append(d)
+        valids.append(np.ones(n_pts, bool))
+    return np.stack(poses), X, bearings, descs, valids
+
+
+class TestPipeline:
+    def test_matching_and_tracks(self):
+        poses, X, bearings, descs, valids = synth_multiview(4, 100)
+        pairs = M.pairs_to_match(4)
+        matches = M.match_pairs_brute_force(descs, valids, pairs)
+        # descriptors are per-point: match i->i dominates
+        for (i, j), m in matches.items():
+            correct = (m[:, 0] == m[:, 1]).mean()
+            assert correct > 0.9
+        tracks, track_of = T.build_tracks(
+            matches, [100] * 4, min_track_length=2
+        )
+        assert len(tracks) > 80
+        long = [t for t in tracks if len(t) == 4]
+        assert len(long) > 50
+
+    def test_incremental_reconstruction(self):
+        poses_gt, X, bearings, descs, valids = synth_multiview(8, 300)
+        pairs = M.pairs_to_match(8)
+        matches = M.match_pairs_brute_force(descs, valids, pairs)
+        key = jax.random.PRNGKey(0)
+        filtered, counts = {}, {}
+        for (i, j), m in matches.items():
+            key, k1 = jax.random.split(key)
+            fm = M.robust_filter_matches(
+                k1, m, bearings[i], bearings[j]
+            )
+            filtered[(i, j)] = fm
+            counts[(i, j)] = len(fm)
+        tracks, _ = T.build_tracks(filtered, [300] * 8, 2)
+        rec = RC.incremental_reconstruct(
+            bearings, tracks, counts,
+            RC.ReconstructConfig(bundle_interval=3),
+        )
+        assert len(rec.poses) == 8, rec.report
+        assert len(rec.points) > 200, rec.report
+
+        # compare camera CENTERS up to a similarity transform (Umeyama)
+        def centers(poses_dict_or_arr):
+            out = []
+            for c in range(8):
+                p = (
+                    poses_dict_or_arr[c]
+                    if isinstance(poses_dict_or_arr, dict)
+                    else poses_dict_or_arr[c]
+                )
+                R = np.asarray(_rodrigues(jnp.asarray(p[:3])))
+                out.append(-R.T @ p[3:])
+            return np.stack(out)
+
+        c_gt = centers(poses_gt)
+        c_est = centers(rec.poses)
+        # Umeyama alignment
+        mu_g, mu_e = c_gt.mean(0), c_est.mean(0)
+        A = (c_gt - mu_g).T @ (c_est - mu_e)
+        U, s, Vt = np.linalg.svd(A)
+        D = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+        R_al = U @ D @ Vt
+        scale = np.trace(np.diag(s) @ D) / ((c_est - mu_e) ** 2).sum()
+        aligned = scale * (c_est - mu_e) @ R_al.T + mu_g
+        err = np.linalg.norm(aligned - c_gt, axis=-1).max()
+        spread = np.linalg.norm(c_gt - mu_g, axis=-1).mean()
+        assert err < 0.05 * spread, (err, spread, rec.report)
