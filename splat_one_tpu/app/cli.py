@@ -1,0 +1,153 @@
+"""Command-line interface: the headless equivalent of the reference's
+PyQt5 tab workflow (SURVEY.md §0 — the 7 tabs become subcommands over the
+same workdir bus; §7 'what NOT to rebuild as-is' replaces the GUI shell).
+
+    python -m splat_one_tpu.app.cli extract-metadata <workdir>
+    python -m splat_one_tpu.app.cli detect-features <workdir>
+    python -m splat_one_tpu.app.cli match-features <workdir>
+    python -m splat_one_tpu.app.cli create-tracks <workdir>
+    python -m splat_one_tpu.app.cli reconstruct <workdir>
+    python -m splat_one_tpu.app.cli train <workdir> [--max-steps N] ...
+    python -m splat_one_tpu.app.cli run-all <workdir>
+    python -m splat_one_tpu.app.cli resize <workdir> --max-dim 2048
+    python -m splat_one_tpu.app.cli viewer <workdir> [--port 8080]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _progress(label):
+    def cb(i, n):
+        print(f"\r{label}: {i}/{n}", end="", flush=True)
+        if i == n:
+            print()
+
+    return cb
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="splat-one-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in (
+        "extract-metadata", "detect-features", "match-features",
+        "create-tracks", "reconstruct", "run-all",
+    ):
+        sp = sub.add_parser(name)
+        sp.add_argument("workdir")
+        if name in ("detect-features",):
+            sp.add_argument("--max-keypoints", type=int, default=2048)
+            sp.add_argument(
+                "--feature-process-size", type=int, default=1024
+            )
+        if name in ("match-features",):
+            sp.add_argument("--lowes-ratio", type=float, default=0.8)
+            sp.add_argument("--order-neighbors", type=int, default=0)
+            sp.add_argument("--gps-neighbors", type=int, default=0)
+
+    sp = sub.add_parser("resize")
+    sp.add_argument("workdir")
+    sp.add_argument("--max-dim", type=int, required=True)
+    sp = sub.add_parser("restore-images")
+    sp.add_argument("workdir")
+
+    sp = sub.add_parser("train")
+    sp.add_argument("workdir")
+    sp.add_argument("--max-steps", type=int, default=30_000)
+    sp.add_argument("--sh-degree", type=int, default=3)
+    sp.add_argument("--strategy", choices=["default", "mcmc"],
+                    default="default")
+    sp.add_argument("--max-images", type=int, default=None)
+    sp.add_argument("--data-factor", type=int, default=1)
+
+    sp = sub.add_parser("viewer")
+    sp.add_argument("workdir")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--ckpt", default=None)
+
+    args = p.parse_args(argv)
+    from splat_one_tpu.app import pipeline
+
+    t0 = time.time()
+    if args.cmd == "extract-metadata":
+        n = pipeline.extract_metadata(
+            args.workdir, _progress("metadata")
+        )
+        print(f"extracted metadata for {n} images")
+    elif args.cmd == "detect-features":
+        n = pipeline.detect_features(
+            args.workdir, max_keypoints=args.max_keypoints,
+            feature_process_size=args.feature_process_size,
+            progress=_progress("features"),
+        )
+        print(f"detected features for {n} images")
+    elif args.cmd == "match-features":
+        n = pipeline.match_features(
+            args.workdir, lowes_ratio=args.lowes_ratio,
+            order_neighbors=args.order_neighbors,
+            gps_neighbors=args.gps_neighbors,
+            progress=_progress("matching"),
+        )
+        print(f"matched {n} pairs")
+    elif args.cmd == "create-tracks":
+        n = pipeline.create_tracks(args.workdir)
+        print(f"built {n} tracks")
+    elif args.cmd == "reconstruct":
+        report = pipeline.reconstruct(args.workdir)
+        print(json.dumps(report, indent=2, default=str))
+    elif args.cmd == "run-all":
+        pipeline.extract_metadata(args.workdir, _progress("metadata"))
+        pipeline.detect_features(
+            args.workdir, progress=_progress("features")
+        )
+        pipeline.match_features(
+            args.workdir, progress=_progress("matching")
+        )
+        pipeline.create_tracks(args.workdir)
+        report = pipeline.reconstruct(args.workdir)
+        print(json.dumps(report, indent=2, default=str))
+    elif args.cmd == "resize":
+        from splat_one_tpu.app.image_processing import ImageProcessor
+
+        n = ImageProcessor(args.workdir).resize_images(args.max_dim)
+        print(f"resized {n} images (originals in images_org/)")
+    elif args.cmd == "restore-images":
+        from splat_one_tpu.app.image_processing import ImageProcessor
+
+        n = ImageProcessor(args.workdir).restore_originals()
+        print(f"restored {n} originals")
+    elif args.cmd == "train":
+        from splat_one_tpu.train.config import Config
+        from splat_one_tpu.train.strategy import (
+            DefaultStrategyCfg, MCMCStrategyCfg,
+        )
+
+        cfg = Config(
+            max_steps=args.max_steps,
+            sh_degree=args.sh_degree,
+            data_factor=args.data_factor,
+            strategy=(
+                MCMCStrategyCfg()
+                if args.strategy == "mcmc"
+                else DefaultStrategyCfg()
+            ),
+        )
+        trainer, history = pipeline.train_splats(
+            args.workdir, cfg, max_images=args.max_images
+        )
+        if history:
+            print(f"final: {history[-1]}")
+    elif args.cmd == "viewer":
+        from splat_one_tpu.app.viewer import serve_workdir
+
+        serve_workdir(args.workdir, port=args.port, ckpt=args.ckpt)
+    print(f"[{args.cmd}] done in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""Workdir pipeline stages: images -> SfM -> reconstruction.json -> splats.
+
+The framework's replacement for the reference's OpenSfM *actions* over the
+filesystem workdir bus (SURVEY.md §1 L1, §2 N8):
+``extract_metadata`` (main_app.py:335), ``detect_features``
+(feature_extractor.py:284), ``match_features`` (feature_matching.py:76),
+``create_tracks`` + ``reconstruct`` (point_cloud_visualizer.py:44-50).
+
+Workdir layout (identical bus contract):
+  images/            input images
+  exif/<img>.exif    per-image metadata JSON
+  camera_models.json (+ camera_models_overrides.json)
+  features/<img>.features.npz
+  matches/matches.json
+  reconstruction.json  (OpenSfM-compatible: cameras/shots/points)
+Progress is reported through callbacks instead of the reference's
+file-count polling (SURVEY.md §7 "what NOT to rebuild as-is").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+ProgressFn = Optional[Callable[[int, int], None]]
+
+
+def _exif_dir(workdir):
+    d = os.path.join(workdir, "exif")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def extract_metadata(workdir: str, progress: ProgressFn = None) -> int:
+    """images/ -> exif/*.exif + camera_models.json."""
+    from splat_one_tpu.app import exif as exif_mod
+    from splat_one_tpu.app.image_processing import ImageProcessor
+
+    proc = ImageProcessor(workdir)
+    images = proc.list_images()
+    models: Dict[str, Dict] = {}
+    mp = os.path.join(workdir, "camera_models.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            models = json.load(f)
+    for i, name in enumerate(images):
+        e = exif_mod.extract_exif(os.path.join(workdir, "images", name))
+        cam_id = exif_mod.camera_id_from_exif(e)
+        e["camera_id"] = cam_id
+        if cam_id not in models:
+            models[cam_id] = exif_mod.default_camera_model(e)
+        with open(os.path.join(_exif_dir(workdir), name + ".exif"), "w") as f:
+            json.dump(e, f, indent=2)
+        if progress:
+            progress(i + 1, len(images))
+    with open(mp, "w") as f:
+        json.dump(models, f, indent=2)
+    return len(images)
+
+
+def _load_exif(workdir, name):
+    with open(os.path.join(workdir, "exif", name + ".exif")) as f:
+        return json.load(f)
+
+
+def _camera_for(workdir, exif):
+    with open(os.path.join(workdir, "camera_models.json")) as f:
+        models = json.load(f)
+    ovp = os.path.join(workdir, "camera_models_overrides.json")
+    if os.path.exists(ovp):
+        with open(ovp) as f:
+            for k, v in json.load(f).items():
+                if k in models:
+                    models[k].update(v)
+    return models[exif["camera_id"]]
+
+
+def detect_features(
+    workdir: str,
+    max_keypoints: int = 2048,
+    feature_process_size: int = 1024,
+    contrast_threshold: float = 0.01,
+    progress: ProgressFn = None,
+) -> int:
+    """images/ -> features/<img>.features.npz (xys in original pixels +
+    normalized coords, descriptors, bearings from the camera model)."""
+    import jax.numpy as jnp
+
+    from splat_one_tpu.app.image_processing import ImageProcessor
+    from splat_one_tpu.core import cameras as cam_mod
+    from splat_one_tpu.sfm import features as F
+
+    proc = ImageProcessor(workdir)
+    images = proc.list_images()
+    fdir = os.path.join(workdir, "features")
+    os.makedirs(fdir, exist_ok=True)
+    from PIL import Image
+
+    for i, name in enumerate(images):
+        exif = _load_exif(workdir, name)
+        cam = _camera_for(workdir, exif)
+        img = Image.open(os.path.join(workdir, "images", name)).convert("L")
+        W0, H0 = img.size
+        scale = 1.0
+        if max(W0, H0) > feature_process_size:
+            scale = feature_process_size / max(W0, H0)
+            img = img.resize((int(W0 * scale), int(H0 * scale)))
+        arr = np.asarray(img).astype(np.float32) / 255.0
+        feats = F.extract_features(
+            jnp.asarray(arr), max_keypoints=max_keypoints,
+            contrast_threshold=contrast_threshold,
+        )
+        valid = np.asarray(feats.valid)
+        xys = np.asarray(feats.xys) / scale  # original pixel coords
+        # bearings from the camera model
+        if cam["projection_type"] == "spherical":
+            K = np.eye(3, dtype=np.float32)
+            model = "spherical"
+        else:
+            f = cam.get("focal", exif["focal_ratio"]) * max(W0, H0)
+            K = np.array(
+                [[f, 0, W0 / 2], [0, f, H0 / 2], [0, 0, 1]], np.float32
+            )
+            model = "pinhole"
+        bearings = np.asarray(
+            cam_mod.unproject(jnp.asarray(xys), jnp.asarray(K), W0, H0, model)
+        )
+        np.savez(
+            os.path.join(fdir, name + ".features.npz"),
+            xys=xys,
+            descriptors=np.asarray(feats.descriptors),
+            scores=np.asarray(feats.scores),
+            valid=valid,
+            bearings=bearings,
+            width=W0,
+            height=H0,
+        )
+        if progress:
+            progress(i + 1, len(images))
+    return len(images)
+
+
+def match_features(
+    workdir: str,
+    lowes_ratio: float = 0.8,
+    order_neighbors: int = 0,
+    gps_neighbors: int = 0,
+    progress: ProgressFn = None,
+) -> int:
+    """features/ -> matches/matches.json (robust-filtered pairs)."""
+    import jax
+
+    from splat_one_tpu.app.image_processing import ImageProcessor
+    from splat_one_tpu.sfm import matching as M
+
+    proc = ImageProcessor(workdir)
+    images = proc.list_images()
+    feats = {}
+    for name in images:
+        z = np.load(
+            os.path.join(workdir, "features", name + ".features.npz")
+        )
+        feats[name] = {k: z[k] for k in z.files}
+    gps = None
+    if gps_neighbors > 0:
+        from splat_one_tpu.data.opensfm import latlon_to_utm
+
+        pos = []
+        for name in images:
+            g = _load_exif(workdir, name).get("gps", {})
+            if "latitude" in g:
+                e, n, _ = latlon_to_utm(g["latitude"], g["longitude"])
+                pos.append([e, n, g.get("altitude", 0.0)])
+            else:
+                pos.append([0.0, 0.0, 0.0])
+        gps = np.asarray(pos)
+    pairs = M.pairs_to_match(
+        len(images), order_neighbors=order_neighbors,
+        gps_positions=gps, gps_neighbors=gps_neighbors,
+    )
+    descs = [feats[n]["descriptors"] for n in images]
+    valids = [feats[n]["valid"] for n in images]
+    raw = M.match_pairs_brute_force(
+        descs, valids, pairs, ratio=lowes_ratio, progress_callback=progress
+    )
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for (i, j), m in raw.items():
+        key, k1 = jax.random.split(key)
+        fm = M.robust_filter_matches(
+            k1, m, feats[images[i]]["bearings"],
+            feats[images[j]]["bearings"],
+        )
+        if len(fm):
+            out[f"{images[i]}|{images[j]}"] = fm.tolist()
+    os.makedirs(os.path.join(workdir, "matches"), exist_ok=True)
+    with open(os.path.join(workdir, "matches", "matches.json"), "w") as f:
+        json.dump(out, f)
+    return len(out)
+
+
+def create_tracks(workdir: str, min_track_length: int = 2) -> int:
+    """matches/ -> tracks.json."""
+    from splat_one_tpu.app.image_processing import ImageProcessor
+    from splat_one_tpu.sfm import tracks as T
+
+    proc = ImageProcessor(workdir)
+    images = proc.list_images()
+    idx_of = {n: i for i, n in enumerate(images)}
+    with open(os.path.join(workdir, "matches", "matches.json")) as f:
+        raw = json.load(f)
+    matches = {}
+    for k, m in raw.items():
+        a, b = k.split("|")
+        matches[(idx_of[a], idx_of[b])] = np.asarray(m, np.int64)
+    n_feats = []
+    for n in images:
+        z = np.load(
+            os.path.join(workdir, "features", n + ".features.npz")
+        )
+        n_feats.append(len(z["valid"]))
+    tracks, _ = T.build_tracks(matches, n_feats, min_track_length)
+    with open(os.path.join(workdir, "tracks.json"), "w") as f:
+        json.dump(
+            [{str(img): int(ft) for img, ft in tr.items()} for tr in tracks],
+            f,
+        )
+    return len(tracks)
+
+
+def reconstruct(workdir: str, progress: ProgressFn = None) -> Dict:
+    """tracks + features -> incremental SfM -> reconstruction.json
+    (OpenSfM-compatible so data.opensfm.Parser reads it directly)."""
+    import jax.numpy as jnp
+
+    from splat_one_tpu.app.image_processing import ImageProcessor
+    from splat_one_tpu.sfm import reconstruct as RC
+    from splat_one_tpu.sfm.ba import _rodrigues
+
+    proc = ImageProcessor(workdir)
+    images = proc.list_images()
+    with open(os.path.join(workdir, "tracks.json")) as f:
+        tracks = [
+            {int(k): int(v) for k, v in tr.items()} for tr in json.load(f)
+        ]
+    bearings = []
+    for n in images:
+        z = np.load(
+            os.path.join(workdir, "features", n + ".features.npz")
+        )
+        bearings.append(z["bearings"].astype(np.float32))
+    with open(os.path.join(workdir, "matches", "matches.json")) as f:
+        raw = json.load(f)
+    idx_of = {n: i for i, n in enumerate(images)}
+    counts = {}
+    for k, m in raw.items():
+        a, b = k.split("|")
+        counts[(idx_of[a], idx_of[b])] = len(m)
+    rec = RC.incremental_reconstruct(bearings, tracks, counts)
+
+    # export OpenSfM-compatible reconstruction.json
+    cameras = {}
+    shots = {}
+    for img_idx, pose in rec.poses.items():
+        name = images[img_idx]
+        exif = _load_exif(workdir, name)
+        cam = _camera_for(workdir, exif)
+        cam_key = exif["camera_id"]
+        cameras[cam_key] = cam
+        shots[name] = {
+            "rotation": np.asarray(pose[:3]).tolist(),
+            "translation": np.asarray(pose[3:]).tolist(),
+            "camera": cam_key,
+        }
+    points = {
+        str(tid): {
+            "coordinates": np.asarray(xyz).tolist(),
+            "color": [180, 180, 180],
+        }
+        for tid, xyz in rec.points.items()
+    }
+    recon = [{
+        "cameras": cameras,
+        "shots": shots,
+        "points": points,
+    }]
+    with open(os.path.join(workdir, "reconstruction.json"), "w") as f:
+        json.dump(recon, f)
+    return rec.report
+
+
+def train_splats(workdir: str, cfg=None, max_images: Optional[int] = None):
+    """reconstruction.json + images -> 3DGS training (results/ under the
+    workdir), completing the end-to-end reference workflow."""
+    from splat_one_tpu.data.opensfm import Parser, to_scene_data
+    from splat_one_tpu.train.config import Config
+    from splat_one_tpu.train.trainer import Trainer
+
+    parser = Parser(workdir)
+    scene = to_scene_data(parser, max_images=max_images)
+    cfg = cfg or Config()
+    cfg.result_dir = os.path.join(workdir, "results")
+    cfg.camera_model = scene.camera_model
+    trainer = Trainer(cfg, scene)
+    history = trainer.train()
+    return trainer, history

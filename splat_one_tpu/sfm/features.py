@@ -113,8 +113,25 @@ def extract_features(
     valid = top_scores > 0
     s_idx = top_idx // (H * W)
     rem = top_idx % (H * W)
-    y = (rem // W).astype(jnp.float32)
-    x = (rem % W).astype(jnp.float32)
+    yi = rem // W
+    xi = rem % W
+    # subpixel refinement: 2D quadratic fit on the DoG (SIFT-style —
+    # integer localization alone costs ~0.5 px of matching accuracy)
+    gx_d = 0.5 * (shift2(dogs, 0, -1) - shift2(dogs, 0, 1))
+    gy_d = 0.5 * (shift2(dogs, -1, 0) - shift2(dogs, 1, 0))
+    g1 = gx_d[s_idx, yi, xi]
+    g2 = gy_d[s_idx, yi, xi]
+    h11 = dxx[s_idx, yi, xi]
+    h22 = dyy[s_idx, yi, xi]
+    h12 = dxy[s_idx, yi, xi]
+    det_h = h11 * h22 - h12 * h12
+    det_h = jnp.where(jnp.abs(det_h) < 1e-12, 1e-12, det_h)
+    off_x = -(h22 * g1 - h12 * g2) / det_h
+    off_y = -(h11 * g2 - h12 * g1) / det_h
+    off_x = jnp.clip(off_x, -0.5, 0.5)
+    off_y = jnp.clip(off_y, -0.5, 0.5)
+    y = yi.astype(jnp.float32) + off_y
+    x = xi.astype(jnp.float32) + off_x
     scale = jnp.asarray(sigmas[:-1], jnp.float32)[s_idx]
 
     # gradients of the matching blurred level

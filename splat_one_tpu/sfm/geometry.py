@@ -166,55 +166,124 @@ def decompose_essential(
     return R, t, counts[k]
 
 
+def _tangent_basis(b):
+    """Orthonormal (u, v) spanning the plane perpendicular to bearing b."""
+    e = jnp.where(
+        jnp.abs(b[..., 2:3]) < 0.9,
+        jnp.array([0.0, 0.0, 1.0]),
+        jnp.array([1.0, 0.0, 0.0]),
+    )
+    u = jnp.cross(b, e)
+    u = u / jnp.maximum(
+        jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12
+    )
+    v = jnp.cross(b, u)
+    return u, v
+
+
+def _procrustes(A, B, w):
+    """Weighted rigid alignment: R, t with B ~ R A + t (rows are points)."""
+    ws = w / jnp.maximum(jnp.sum(w), 1e-12)
+    muA = jnp.sum(A * ws[:, None], axis=0)
+    muB = jnp.sum(B * ws[:, None], axis=0)
+    H = (A - muA).T @ ((B - muB) * ws[:, None])
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
+    R = Vt.T @ D @ U.T
+    t = muB - R @ muA
+    return R, t
+
+
 def pnp_dlt(
     points: jax.Array,  # [n, 3] world points
     bearings: jax.Array,  # [n, 3] unit bearings
     valid: jax.Array,  # [n]
+    gn_iters: int = 5,
 ):
-    """Linear resection (bearing-based DLT): solve world->camera (R, t) from
-    >= 6 correspondences; rotation projected to SO(3). Used to register new
-    images during incremental reconstruction (OpenSfM resection analog)."""
+    """Calibrated resection via EPnP (control-point kernel + Procrustes)
+    with Gauss-Newton refinement on the tangent-plane residuals.
+
+    A plain projective DLT is degenerate under noise for narrow fields of
+    view (the 11-dof fit beats the rigid one with a rank-deficient rotation
+    block); EPnP's rigid parametrization avoids that. Works from >= 6
+    correspondences (RANSAC minimal samples included).
+    """
     w = valid.astype(points.dtype)
+    ws = w / jnp.maximum(jnp.sum(w), 1e-12)
 
-    # constraints: bearing x (R X + t) = 0 -> 2 independent rows each
-    def make_rows(X, b):
-        e = jnp.where(
-            jnp.abs(b[2]) < 0.9,
-            jnp.array([0.0, 0.0, 1.0]),
-            jnp.array([1.0, 0.0, 0.0]),
+    # world control points: centroid + principal axes
+    mu = jnp.sum(points * ws[:, None], axis=0)
+    cen = points - mu
+    cov = (cen * ws[:, None]).T @ cen
+    evals, evecs = jnp.linalg.eigh(cov)
+    sc = jnp.sqrt(jnp.maximum(evals, 1e-12))
+    C = jnp.concatenate(
+        [mu[None], mu[None] + evecs.T * sc[:, None]], axis=0
+    )  # [4, 3]
+    # barycentric coordinates: [C^T; 1] alpha = [X; 1]
+    T = jnp.concatenate([C.T, jnp.ones((1, 4))], axis=0)  # [4, 4]
+    Xh = jnp.concatenate(
+        [points, jnp.ones((points.shape[0], 1))], axis=1
+    )  # [n, 4]
+    alpha = jnp.linalg.solve(T, Xh.T).T  # [n, 4]
+
+    u, v = _tangent_basis(bearings)  # [n, 3] each
+    # rows: sum_j alpha_j * (u . c_j) = 0  -> [n, 12]
+    Mu = (alpha[:, :, None] * u[:, None, :]).reshape(-1, 12)
+    Mv = (alpha[:, :, None] * v[:, None, :]).reshape(-1, 12)
+    M = jnp.concatenate([Mu * w[:, None], Mv * w[:, None]], axis=0)
+    _, _, vt = jnp.linalg.svd(M, full_matrices=True)
+    ck = vt[-1].reshape(4, 3)  # camera-frame control points (up to scale)
+
+    # scale from control-point pairwise distances (least squares)
+    dC = C[:, None] - C[None]  # [4,4,3]
+    dk = ck[:, None] - ck[None]
+    num = jnp.sum(
+        jnp.linalg.norm(dC, axis=-1) * jnp.linalg.norm(dk, axis=-1)
+    )
+    den = jnp.sum(jnp.sum(dk * dk, axis=-1))
+    beta = num / jnp.maximum(den, 1e-12)
+    c_cam = ck * beta
+    # sign: majority of points in front of the camera
+    x_cam = alpha @ c_cam  # [n, 3]
+    sgn = jnp.sign(
+        jnp.sum(jnp.where(valid, jnp.sum(x_cam * bearings, -1), 0.0))
+    )
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    c_cam = c_cam * sgn
+
+    R, t = _procrustes(C, c_cam, jnp.ones(4))
+
+    # Gauss-Newton refinement on (rvec, t)
+    from splat_one_tpu.sfm.ba import _residual, _rodrigues
+
+    def rvec_of(Rm):
+        # matrix -> angle-axis via quaternion-free log map (host-safe)
+        cos_t = jnp.clip((jnp.trace(Rm) - 1) / 2, -1 + 1e-7, 1 - 1e-7)
+        theta = jnp.arccos(cos_t)
+        axis = jnp.array(
+            [Rm[2, 1] - Rm[1, 2], Rm[0, 2] - Rm[2, 0], Rm[1, 0] - Rm[0, 1]]
         )
-        u = jnp.cross(b, e)
-        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
-        v = jnp.cross(b, u)
-        # u.(RX + t) = 0: row over [r11..r33, t1..t3]
-        r1 = jnp.concatenate([jnp.kron(u, X), u])
-        r2 = jnp.concatenate([jnp.kron(v, X), v])
-        return jnp.stack([r1, r2])
+        axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+        return axis * theta
 
-    rows = jax.vmap(make_rows)(points, bearings)  # [n, 2, 12]
-    rows = rows * w[:, None, None]
-    A = rows.reshape(-1, 12)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    sol = vt[-1]
-    R_raw = sol[:9].reshape(3, 3)
-    t_raw = sol[9:]
-    # project to SO(3); fix scale and sign
-    u, s, vt2 = jnp.linalg.svd(R_raw)
-    det = jnp.linalg.det(u @ vt2)
-    R = u @ jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.sign(det)) @ vt2
-    scale = jnp.sign(det) * 3.0 / jnp.maximum(jnp.sum(s), 1e-12)
-    t = t_raw * scale
-    # cheirality: majority of points should be in front
-    d = jnp.sum((points @ R.T + t) * bearings, axis=-1)
-    flip = jnp.sum(jnp.where(valid, jnp.sign(d), 0.0)) < 0
-    R = jnp.where(flip, -R, R)
-    t = jnp.where(flip, -t, t)
-    # -R is not a rotation; re-project
-    u3, _, vt3 = jnp.linalg.svd(R)
-    R = u3 @ jnp.diag(
-        jnp.array([1.0, 1.0, jnp.linalg.det(u3 @ vt3)])
-    ) @ vt3
-    return R, t
+    cam = jnp.concatenate([rvec_of(R), t])
+
+    def gn_step(cam, _):
+        def all_res(c):
+            return jax.vmap(lambda X, b: _residual(c, X, b))(
+                points, bearings
+            ) * w[:, None]
+
+        r = all_res(cam)
+        J = jax.jacfwd(all_res)(cam).reshape(-1, 6)
+        g = J.T @ r.reshape(-1)
+        H = J.T @ J + 1e-8 * jnp.eye(6)
+        return cam - jnp.linalg.solve(H, g), None
+
+    cam, _ = jax.lax.scan(gn_step, cam, None, length=gn_iters)
+    return _rodrigues(cam[:3]), cam[3:]
 
 
 @partial(jax.jit, static_argnames=("n_hyp",))

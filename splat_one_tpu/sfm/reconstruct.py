@@ -323,7 +323,42 @@ def incremental_reconstruct(
             run_bundle()
             since_bundle = 0
 
-    run_bundle()
+    # final polish: retriangulate every track from the converged poses
+    # (recovers tracks dropped as outliers mid-way), then a stronger BA.
+    # (COLMAP/OpenSfM-style retriangulation pass.)
+    def retriangulate():
+        n_re = 0
+        for tid, tr in enumerate(tracks):
+            regs = [(im, f) for im, f in tr.items() if im in poses]
+            if len(regs) < 2:
+                continue
+            Rs = [
+                np.asarray(ba_mod._rodrigues(jnp.asarray(poses[im][:3])))
+                for im, _ in regs
+            ]
+            ts = [poses[im][3:] for im, _ in regs]
+            bs = [bearings[im][f] for im, f in regs]
+            Xp, ang = triangulate_nview(Rs, ts, bs)
+            if ang < cfg.triangulation_min_angle_deg:
+                continue
+            ok = sum(
+                _reproj_ok(poses[im], Xp, bearings[im][f],
+                           cfg.outlier_threshold)
+                for im, f in regs
+            )
+            if ok >= 2:
+                if tid not in points:
+                    n_re += 1
+                points[tid] = Xp.astype(np.float32)
+            elif tid in points:
+                del points[tid]
+        return n_re
+
+    for _ in range(2):
+        n_re = retriangulate()
+        run_bundle()
+        report["steps"].append({"retriangulated": n_re})
+
     report["n_images"] = len(poses)
     report["n_points"] = len(points)
     return Reconstruction(poses, points, report)

@@ -484,6 +484,94 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def render_traj(self, step: int, n_frames: int = 60) -> str:
+        """Render an interpolated/ellipse/spiral trajectory video
+        (reference Runner.render_traj, :843-900): RGB | normalized-depth
+        side-by-side frames under results/videos/traj_<step>/ (plus .mp4 if
+        an ffmpeg binary is available)."""
+        import shutil
+        import subprocess
+
+        from splat_one_tpu.data import traj as traj_mod
+
+        c2ws = self.scene.camtoworlds
+        if len(c2ws) > 10:
+            c2ws = c2ws[5:-5]  # reference trims the ends (:850)
+        kind = self.cfg.render_traj_path
+        if kind == "interp":
+            path = traj_mod.generate_interpolated_path(
+                c2ws, max(1, n_frames // max(len(c2ws) - 1, 1))
+            )
+        elif kind == "ellipse_z":
+            path = traj_mod.generate_ellipse_path_z(c2ws, n_frames=n_frames)
+        elif kind == "ellipse_y":
+            path = traj_mod.generate_ellipse_path_y(c2ws, n_frames=n_frames)
+        elif kind == "spiral":
+            path = traj_mod.generate_spiral_path(c2ws, n_frames=n_frames)
+        else:
+            raise ValueError(f"unknown render_traj_path {kind!r}")
+        out_dir = os.path.join(
+            self.result_dir, "videos", f"traj_{step}"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        from PIL import Image
+
+        K = self.scene.Ks[len(self.scene.Ks) // 2]
+        for fi, c2w in enumerate(path):
+            rgb, alpha, depth = self._eval_render(
+                self.state, jnp.asarray(c2w[None]), jnp.asarray(K[None])
+            )
+            rgb = np.asarray(jnp.clip(rgb[0], 0, 1))
+            d = np.asarray(depth[0, ..., 0])
+            lo, hi = np.percentile(d, 1), np.percentile(d, 99)
+            dn = np.clip((d - lo) / max(hi - lo, 1e-6), 0, 1)
+            frame = np.concatenate(
+                [rgb, np.repeat(dn[..., None], 3, axis=-1)], axis=1
+            )
+            Image.fromarray((frame * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{fi:04d}.png")
+            )
+        if shutil.which("ffmpeg"):
+            mp4 = os.path.join(
+                self.result_dir, "videos", f"traj_{step}.mp4"
+            )
+            subprocess.run(
+                ["ffmpeg", "-y", "-framerate", "30", "-i",
+                 os.path.join(out_dir, "%04d.png"), "-pix_fmt", "yuv420p",
+                 mp4],
+                check=False, capture_output=True,
+            )
+        return out_dir
+
+    def run_compression(self, step: int) -> Dict[str, float]:
+        """PNG compression round-trip + compressed eval (reference
+        Runner.run_compression, :902-914)."""
+        from splat_one_tpu.train import compression as comp
+
+        out_dir = os.path.join(self.result_dir, "compression")
+        comp.compress(
+            out_dir,
+            {k: np.asarray(v) for k, v in self.state.params.items()},
+            np.asarray(self.state.alive),
+        )
+        params_np, alive_np = comp.decompress(out_dir)
+        # load the round-tripped splats into the capacity buffers and eval
+        n = params_np["opacities"].shape[0]
+        saved = self.state
+        new_params = {}
+        for k, v in self.state.params.items():
+            buf = np.array(np.asarray(v))
+            buf[:n] = params_np[k]
+            new_params[k] = jnp.asarray(buf)
+        alive = jnp.asarray(
+            np.arange(self.capacity) < n
+        )
+        self.state = self.state._replace(params=new_params, alive=alive)
+        stats = self.eval(step, stage="compress")
+        self.state = saved
+        return stats
+
+    # ------------------------------------------------------------------
     def render_view(self, camtoworld: np.ndarray, K: np.ndarray):
         """Interactive single-view render (reference _viewer_render_fn,
         :916-940)."""
