@@ -1,0 +1,145 @@
+"""Video -> frames + geotag ingestion (mapillary_tools-equivalent surface).
+
+Replacement for the reference's video path (SURVEY.md N16;
+app/main_app.py:216-264 — mapillary_tools ``video_process`` samples frames
+by time/distance and injects geotags from GPX/camm/etc.). Frame extraction
+shells out to ffmpeg when available (gated — this build image has none);
+GPX parsing + time-interpolation of geotags is pure Python and always
+available, writing the same ``image_descriptions.json`` the image-processing
+stage consumes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def extract_frames(
+    video_path: str,
+    out_dir: str,
+    interval_s: float = 2.0,
+    prefix: Optional[str] = None,
+) -> List[str]:
+    """Sample frames every ``interval_s`` seconds with ffmpeg."""
+    if not ffmpeg_available():
+        raise RuntimeError(
+            "ffmpeg not found — video ingestion requires an ffmpeg binary"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = prefix or os.path.splitext(os.path.basename(video_path))[0]
+    pattern = os.path.join(out_dir, f"{prefix}_%06d.jpg")
+    subprocess.run(
+        [
+            "ffmpeg", "-y", "-i", video_path,
+            "-vf", f"fps=1/{interval_s}", "-qscale:v", "2", pattern,
+        ],
+        check=True, capture_output=True,
+    )
+    return sorted(
+        f for f in os.listdir(out_dir) if f.startswith(prefix)
+    )
+
+
+def parse_gpx(gpx_path: str) -> List[Dict]:
+    """GPX track points -> [{time_s, lat, lon, alt}] sorted by time."""
+    ns = {"g": "http://www.topografix.com/GPX/1/1"}
+    root = ET.parse(gpx_path).getroot()
+    import datetime as dt
+
+    pts = []
+    for trkpt in root.iter("{http://www.topografix.com/GPX/1/1}trkpt"):
+        lat = float(trkpt.get("lat"))
+        lon = float(trkpt.get("lon"))
+        ele = trkpt.find("g:ele", ns)
+        t = trkpt.find("g:time", ns)
+        if t is None:
+            continue
+        ts = dt.datetime.fromisoformat(
+            t.text.replace("Z", "+00:00")
+        ).timestamp()
+        pts.append(
+            {
+                "time_s": ts,
+                "lat": lat,
+                "lon": lon,
+                "alt": float(ele.text) if ele is not None else 0.0,
+            }
+        )
+    return sorted(pts, key=lambda p: p["time_s"])
+
+
+def interpolate_geotags(
+    frame_names: List[str],
+    frame_times_s: List[float],
+    track: List[Dict],
+) -> List[Dict]:
+    """Linear-interpolate the GPS track at each frame time; returns
+    mapillary-style image descriptions consumed by
+    ``ImageProcessor.apply_image_descriptions``."""
+    import bisect
+    import datetime as dt
+
+    times = [p["time_s"] for p in track]
+    out = []
+    for name, t in zip(frame_names, frame_times_s):
+        i = bisect.bisect_left(times, t)
+        if i <= 0:
+            p = track[0]
+            lat, lon, alt = p["lat"], p["lon"], p["alt"]
+        elif i >= len(track):
+            p = track[-1]
+            lat, lon, alt = p["lat"], p["lon"], p["alt"]
+        else:
+            a, b = track[i - 1], track[i]
+            f = (t - a["time_s"]) / max(b["time_s"] - a["time_s"], 1e-9)
+            lat = a["lat"] + f * (b["lat"] - a["lat"])
+            lon = a["lon"] + f * (b["lon"] - a["lon"])
+            alt = a["alt"] + f * (b["alt"] - a["alt"])
+        out.append(
+            {
+                "filename": name,
+                "MAPLatitude": lat,
+                "MAPLongitude": lon,
+                "MAPAltitude": alt,
+                "MAPCaptureTime": dt.datetime.utcfromtimestamp(
+                    t
+                ).strftime("%Y_%m_%d_%H_%M_%S_%f")[:-3],
+            }
+        )
+    return out
+
+
+def process_video(
+    video_path: str,
+    workdir: str,
+    interval_s: float = 2.0,
+    gpx_path: Optional[str] = None,
+) -> int:
+    """Full ingestion: frames into <workdir>/images plus
+    image_descriptions.json geotags (the reference's process_video flow,
+    main_app.py:216-277)."""
+    frames = extract_frames(
+        video_path, os.path.join(workdir, "images"), interval_s
+    )
+    if gpx_path:
+        track = parse_gpx(gpx_path)
+        times = [
+            track[0]["time_s"] + i * interval_s for i in range(len(frames))
+        ]
+        desc = interpolate_geotags(frames, times, track)
+        desc_path = os.path.join(workdir, "image_descriptions.json")
+        with open(desc_path, "w") as f:
+            json.dump(desc, f, indent=2)
+        from splat_one_tpu.app.image_processing import ImageProcessor
+
+        ImageProcessor(workdir).apply_image_descriptions(desc_path)
+    return len(frames)

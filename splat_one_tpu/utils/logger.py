@@ -1,0 +1,26 @@
+"""File + console logging (reference utils/logger.py — loguru sink
+``logs/app.log``; here stdlib logging, no extra dependency)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+
+def setup_logger(workdir: str = ".", name: str = "splat_one_tpu"):
+    log_dir = os.path.join(workdir, "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter(
+        "%(asctime)s | %(levelname)s | %(name)s | %(message)s"
+    )
+    fh = logging.FileHandler(os.path.join(log_dir, "app.log"))
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger
