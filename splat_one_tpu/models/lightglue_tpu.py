@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from splat_one_tpu.models.sam_tpu import _init_linear, _linear
+from splat_one_tpu.models.sam_tpu import (
+    _init_linear, _init_ln, _layernorm, _linear,
+)
 
 DIM = 128
 N_LAYERS = 4
@@ -46,6 +48,9 @@ def init_lightglue(key, desc_dim: int = 128) -> Dict:
         ki += 1
         _init_linear(ks[ki], f"l{layer}_ffn2", DIM * 2, DIM, params)
         ki += 1
+        _init_ln(f"l{layer}_ln_s", DIM, params)
+        _init_ln(f"l{layer}_ln_c", DIM, params)
+        _init_ln(f"l{layer}_ln_f", DIM * 2, params)
     _init_linear(ks[ki], "final", DIM, DIM, params)
     _init_linear(ks[ki + 1], "matchability", DIM, 1, params)
     return params
@@ -83,18 +88,27 @@ def _mha(p, prefix, q_in, kv_in, q_xy, kv_xy, mask_kv):
 
 
 def _layer(p, i, xa, xb, xy_a, xy_b, va, vb):
-    # self attention within each image, then cross between them, with
-    # LightGlue's concat-FFN update
+    # pre-normed self attention within each image, then cross between them,
+    # with LightGlue's concat-FFN update (norms keep 4 residual layers from
+    # collapsing the feature distribution)
     def upd(x, msg):
-        h = jnp.concatenate([x, msg], axis=-1)
+        h = _layernorm(
+            p, f"l{i}_ln_f", jnp.concatenate([x, msg], axis=-1)
+        )
         return x + _linear(
             p, f"l{i}_ffn2", jax.nn.gelu(_linear(p, f"l{i}_ffn1", h))
         )
 
-    xa = upd(xa, _mha(p, f"l{i}_self", xa, xa, xy_a, xy_a, va))
-    xb = upd(xb, _mha(p, f"l{i}_self", xb, xb, xy_b, xy_b, vb))
-    xa = upd(xa, _mha(p, f"l{i}_cross", xa, xb, xy_a, xy_b, vb))
-    xb = upd(xb, _mha(p, f"l{i}_cross", xb, xa, xy_b, xy_a, va))
+    def s_in(x):
+        return _layernorm(p, f"l{i}_ln_s", x)
+
+    def c_in(x):
+        return _layernorm(p, f"l{i}_ln_c", x)
+
+    xa = upd(xa, _mha(p, f"l{i}_self", s_in(xa), s_in(xa), xy_a, xy_a, va))
+    xb = upd(xb, _mha(p, f"l{i}_self", s_in(xb), s_in(xb), xy_b, xy_b, vb))
+    xa = upd(xa, _mha(p, f"l{i}_cross", c_in(xa), c_in(xb), xy_a, xy_b, vb))
+    xb = upd(xb, _mha(p, f"l{i}_cross", c_in(xb), c_in(xa), xy_b, xy_a, va))
     return xa, xb
 
 

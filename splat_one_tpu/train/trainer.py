@@ -59,6 +59,10 @@ class TrainState(NamedTuple):
     step: jax.Array
     pose_params: Optional[jax.Array] = None
     pose_opt_state: Optional[opt.AdamState] = None
+    bil_grids: Optional[jax.Array] = None
+    bil_opt_state: Optional[opt.AdamState] = None
+    app_params: Optional[Dict[str, jax.Array]] = None
+    app_opt_state: Optional[opt.AdamState] = None
 
 
 def _sh_band_degrees(sh_degree: int) -> np.ndarray:
@@ -118,10 +122,32 @@ class Trainer:
             pose_params = P.init_pose_params(M)
             pose_opt_state = opt.adam_init({"pose": pose_params})
 
+        bil_grids = bil_opt_state = None
+        if cfg.use_bilateral_grid:
+            from splat_one_tpu.train import bilateral_grid as BG
+
+            bil_grids = BG.init_bilateral_grids(
+                M, cfg.bilateral_grid_shape
+            )
+            bil_opt_state = opt.adam_init({"bil": bil_grids})
+
+        app_params = app_opt_state = None
+        if cfg.app_opt:
+            from splat_one_tpu.train import appearance as APP
+
+            app_params = APP.init_appearance_params(
+                jax.random.PRNGKey(cfg.seed + 1), M,
+                feature_dim=32, embed_dim=cfg.app_embed_dim,
+                sh_degree=cfg.sh_degree,
+            )
+            app_opt_state = opt.adam_init(app_params)
+
         self.state = TrainState(
             params=params, opt_state=opt_state, alive=alive,
             strat=S.strategy_init(capacity), step=jnp.zeros((), jnp.int32),
             pose_params=pose_params, pose_opt_state=pose_opt_state,
+            bil_grids=bil_grids, bil_opt_state=bil_opt_state,
+            app_params=app_params, app_opt_state=app_opt_state,
         )
         self.caps = IsectCaps.choose(
             capacity, cfg.batch_size,
@@ -173,7 +199,8 @@ class Trainer:
             )
             return render, alpha, info
 
-        def loss_fn(params, pose_params, dummies, batch, alive, step, key):
+        def loss_fn(params, pose_params, bil_grids, dummies, batch, alive,
+                    step, key):
             camtoworlds = batch["camtoworld"]
             if cfg.pose_opt:
                 embeds = pose_params[batch["image_id"]]
@@ -208,8 +235,22 @@ class Trainer:
             if cfg.random_bkgd:
                 bkgd = jax.random.uniform(key, (1, 1, 1, 3))
                 rgb = rgb + bkgd * (1.0 - alpha)
+            if cfg.use_bilateral_grid:
+                from splat_one_tpu.train import bilateral_grid as BG
+
+                rgb = BG.slice_grid(
+                    bil_grids[batch["image_id"]], rgb
+                )
             m = L.image_loss(rgb, batch["image"], cfg.ssim_lambda)
             loss = m["loss"]
+            if cfg.use_bilateral_grid:
+                from splat_one_tpu.train import bilateral_grid as BG
+
+                # TV regularization weight 10 (reference
+                # gsplat_trainer.py:649-651)
+                loss = loss + 10.0 * BG.total_variation_loss(
+                    bil_grids[batch["image_id"]]
+                )
             if cfg.depth_loss and "depth" in batch:
                 dl = L.depth_loss(depth_r, alpha, batch["depth"])
                 loss = loss + cfg.depth_lambda * dl
@@ -231,16 +272,21 @@ class Trainer:
                 "m2d": jnp.zeros((B, self.capacity, 2)),
                 "abs": jnp.zeros((B, self.capacity, 2)),
             }
-            # a zero placeholder keeps value_and_grad happy when pose_opt
-            # is off (grads of None primals are not allowed)
+            # zero placeholders keep value_and_grad happy when a module is
+            # off (grads of None primals are not allowed)
             pose_in = (
                 state.pose_params if cfg.pose_opt else jnp.zeros((0, 9))
             )
-            grad_fn = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True
+            bil_in = (
+                state.bil_grids
+                if cfg.use_bilateral_grid
+                else jnp.zeros((1, 1, 1, 1, 12))
             )
-            (loss, aux), (gp, gpose, gdum) = grad_fn(
-                state.params, pose_in, dummies, batch,
+            grad_fn = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            )
+            (loss, aux), (gp, gpose, gbil, gdum) = grad_fn(
+                state.params, pose_in, bil_in, dummies, batch,
                 state.alive, step, key,
             )
             # densification statistics (absgrad or plain grad per strategy)
@@ -266,6 +312,14 @@ class Trainer:
                 b1=hp["b1"], b2=hp["b2"], eps=hp["eps"],
                 visible_mask=visible,
             )
+            bil_grids, bil_opt_state = state.bil_grids, state.bil_opt_state
+            if cfg.use_bilateral_grid:
+                bg, bil_opt_state = opt.adam_update(
+                    {"bil": gbil}, state.bil_opt_state,
+                    {"bil": state.bil_grids},
+                    {"bil": jnp.asarray(2e-3)},
+                )
+                bil_grids = bg["bil"]
             pose_params, pose_opt_state = state.pose_params, state.pose_opt_state
             if cfg.pose_opt:
                 gpose_wd = gpose + cfg.pose_opt_reg * state.pose_params
@@ -285,6 +339,9 @@ class Trainer:
                 params=params, opt_state=opt_state, alive=state.alive,
                 strat=strat, step=step + 1,
                 pose_params=pose_params, pose_opt_state=pose_opt_state,
+                bil_grids=bil_grids, bil_opt_state=bil_opt_state,
+                app_params=state.app_params,
+                app_opt_state=state.app_opt_state,
             )
             metrics = dict(aux["metrics"])
             metrics["n_isect"] = aux["n_isect"]

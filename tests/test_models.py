@@ -121,9 +121,13 @@ class TestLightGlue:
         l0 = float(loss_fn(params))
         g_fn = jax.jit(jax.value_and_grad(loss_fn))
         p = params
-        for _ in range(15):
+        for _ in range(25):
             l, g = g_fn(p)
-            p = jax.tree.map(lambda a, b: a - 0.05 * b, p, g)
+            gn = jnp.sqrt(
+                jax.tree.reduce(lambda a, b: a + jnp.sum(b * b), g, 0.0)
+            )
+            scale = 0.5 / jnp.maximum(gn, 1.0)  # clipped step
+            p = jax.tree.map(lambda a, b: a - scale * b, p, g)
         l1 = float(loss_fn(p))
         assert l1 < l0 * 0.7, (l0, l1)
 

@@ -157,3 +157,15 @@ class TestTrainerExtras:
         out = tr.render_traj(2, n_frames=4)
         frames = [f for f in os.listdir(out) if f.endswith(".png")]
         assert len(frames) >= 4
+
+    def test_bilateral_grid_training(self, scene, tmp_path):
+        cfg = small_cfg(
+            tmp_path, use_bilateral_grid=True, max_steps=6, eval_steps=[],
+            save_steps=[],
+        )
+        tr = Trainer(cfg, scene)
+        g0 = np.array(tr.state.bil_grids)
+        hist = tr.train(log_every=3)
+        assert np.isfinite([h["loss"] for h in hist]).all()
+        # grids actually learn (move away from identity init)
+        assert float(np.abs(np.array(tr.state.bil_grids) - g0).max()) > 0
