@@ -99,8 +99,50 @@ def projection_jacobian(
     height: int,
     camera_model: str = "pinhole",
     dist: Optional[jax.Array] = None,
+    eps: float = 1e-8,
 ) -> jax.Array:
-    """Exact Jacobian d(uv)/d(p_cam): ``[..., 2, 3]`` (for EWA splatting)."""
+    """Exact Jacobian d(uv)/d(p_cam): ``[..., 2, 3]`` (for EWA splatting).
+
+    Analytic closed forms for pinhole/ortho/spherical (the hot paths — a
+    vmapped ``jacfwd`` costs 3x the projection and dominates the projection
+    stage at millions of gaussians); fisheye falls back to ``jacfwd``.
+    """
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    fx, fy = K[..., 0, 0], K[..., 1, 1]
+    zero = jnp.zeros_like(x)
+    if camera_model == "pinhole":
+        zs = jnp.where(jnp.abs(z) < eps, eps, z)
+        inv_z = 1.0 / zs
+        row_u = jnp.stack(
+            [fx * inv_z, zero, -fx * x * inv_z * inv_z], axis=-1
+        )
+        row_v = jnp.stack(
+            [zero, fy * inv_z, -fy * y * inv_z * inv_z], axis=-1
+        )
+        return jnp.stack([row_u, row_v], axis=-2)
+    if camera_model == "ortho":
+        row_u = jnp.stack([fx * jnp.ones_like(x), zero, zero], axis=-1)
+        row_v = jnp.stack([zero, fy * jnp.ones_like(x), zero], axis=-1)
+        return jnp.stack([row_u, row_v], axis=-2)
+    if camera_model == "spherical":
+        # u = (lon/2pi + 0.5) W, lon = atan2(x, z)
+        # v = (0.5 - lat/pi) H,  lat = asin(-y/r)
+        rxz2 = jnp.maximum(x * x + z * z, eps)
+        r2 = jnp.maximum(x * x + y * y + z * z, eps)
+        cu = width / (2.0 * jnp.pi)
+        du = jnp.stack(
+            [cu * z / rxz2, zero, -cu * x / rxz2], axis=-1
+        )
+        # dlat/dp: lat = asin(-y/r); d = (-ey r + y p/r)/r^2 projected:
+        rxz = jnp.sqrt(rxz2)
+        dlat_dx = x * y / (r2 * rxz)
+        dlat_dy = -rxz / r2
+        dlat_dz = z * y / (r2 * rxz)
+        cv = -height / jnp.pi
+        dv = jnp.stack(
+            [cv * dlat_dx, cv * dlat_dy, cv * dlat_dz], axis=-1
+        )
+        return jnp.stack([du, dv], axis=-2)
 
     def f(p):
         return project(p, K, width, height, camera_model, dist)

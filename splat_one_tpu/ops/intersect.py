@@ -78,15 +78,17 @@ class IsectData(NamedTuple):
     ``C*TH*TW + 1``; every entry is a multiple of ``chunk``.
 
     For the backward reduction: ``rank_perm`` sorts aligned slots by
-    ``slot_rank`` and ``rank_sorted`` is ``slot_rank[rank_perm]`` (both
-    computed in forward where sorts are cheap).
+    ``slot_rank``; ``rank_bounds[r]`` is the start of rank r's contiguous
+    run in that order — it equals the exclusive cumsum of the per-gaussian
+    tile counts (free in forward; a searchsorted here would cost ~140 ms at
+    1M queries on TPU).
     """
 
     slot_rank: jax.Array  # [align_cap] int32
     rank_src: jax.Array  # [C * N] int32
     tile_starts: jax.Array  # [CT + 1] int32 (aligned)
     rank_perm: jax.Array  # [align_cap] int32
-    rank_sorted: jax.Array  # [align_cap] int32
+    rank_bounds: jax.Array  # [C * N + 1] int32
     n_isect: jax.Array  # [] int32 raw intersection count
     n_slots: jax.Array  # [] int32 total aligned slots in use
     overflow: jax.Array  # [] bool — capacities exceeded (results truncated)
@@ -225,19 +227,37 @@ def build_intersections(
     starts_al = jnp.minimum(starts_al, (AL // G) * G)
     n_slots = starts_al[-1]
 
-    t_of_p = _index_of_slot(starts_al[:-1], AL)  # [AL]
-    tmeta = jnp.stack([starts_al[:-1], tile_counts, raw_starts[:-1]], axis=1)
-    tmeta_p = tmeta[t_of_p]  # [AL, 3] row gather (small source table)
+    # Per-slot tile metadata WITHOUT a [AL]-row gather (gathers on TPU are
+    # row-rate-bound at ~7ns/row — measured): every needed quantity is
+    # piecewise-constant and monotonic over the aligned ranges, so scatter
+    # the per-tile value at each range start and forward-fill with cummax.
+    def ffill_monotonic(vals_at_tile):  # [CT] monotonic non-decreasing
+        arr = jnp.zeros((AL,), jnp.int32).at[
+            jnp.clip(starts_al[:-1], 0, AL - 1)
+        ].max(vals_at_tile)
+        return jax.lax.cummax(arr)
+
+    start_fill = ffill_monotonic(starts_al[:-1])
+    raw_fill = ffill_monotonic(raw_starts[:-1])
+    raw_end_fill = ffill_monotonic(raw_starts[1:])
     p_ids = jnp.arange(AL, dtype=jnp.int32)
-    local_p = p_ids - tmeta_p[:, 0]
-    p_ok = (local_p < tmeta_p[:, 1]) & (p_ids < n_slots)
-    src = jnp.clip(tmeta_p[:, 2] + local_p, 0, EXP - 1)
+    local_p = p_ids - start_fill
+    src_raw = raw_fill + local_p
+    p_ok = (src_raw < raw_end_fill) & (p_ids < n_slots)
+    src = jnp.clip(src_raw, 0, EXP - 1)
     slot_rank = jnp.where(p_ok, sorted_g[src], M0).astype(jnp.int32)
 
-    # 6. by-gaussian permutation for the backward reduction (sorts are cheap
-    # in forward; the backward then only gathers + cumsums).
-    rank_sorted, rank_perm = jax.lax.sort(
+    # 6. by-gaussian permutation for the backward reduction (sorts are
+    # cheap in forward; the backward then only gathers + cumsums). In
+    # by-rank order, rank r occupies a contiguous run whose length is
+    # exactly its tile count, so the run boundaries are the counts cumsum
+    # (clipped under overflow truncation).
+    _, rank_perm = jax.lax.sort(
         [slot_rank, p_ids], is_stable=True, num_keys=1
+    )
+    rank_bounds = jnp.clip(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]),
+        0, AL,
     )
 
     return IsectData(
@@ -245,7 +265,7 @@ def build_intersections(
         rank_src=rank_src,
         tile_starts=starts_al,
         rank_perm=rank_perm,
-        rank_sorted=rank_sorted,
+        rank_bounds=rank_bounds,
         n_isect=n_isect,
         n_slots=n_slots,
         overflow=overflow,
@@ -332,9 +352,7 @@ def gather_reduction(
     g_sorted = pgrads.T[isect.rank_perm]  # [AL, NF] row gather
     cs = jnp.cumsum(g_sorted.astype(jnp.float32), axis=0)
     cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], axis=0)
-    bounds = jnp.searchsorted(
-        isect.rank_sorted, jnp.arange(M0 + 1, dtype=jnp.int32), side="left"
-    )
+    bounds = isect.rank_bounds
     per_rank = cs[bounds[1:]] - cs[bounds[:-1]]  # [M0, NF] depth-rank space
     # un-permute: original flat index j sits at depth-rank inv[j]
     inv = jnp.zeros((M0,), jnp.int32).at[isect.rank_src].set(

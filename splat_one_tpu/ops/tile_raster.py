@@ -141,6 +141,9 @@ def _fwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, out_ref, buf, sems):
     px, py = _tile_pixel_coords(cfg, t)
     tri_strict, _ = _tri_matrices(G)
 
+    NBUF = 4  # deep buffering: per-chunk compute (~0.2 us of MXU work)
+    # is far below DMA latency, so 2 buffers leave the pipeline stalled
+
     def get_dma(slot, k):
         return pltpu.make_async_copy(
             packed_ref.at[:, pl.ds(pl.multiple_of(start + k * G, G), G)],
@@ -148,17 +151,18 @@ def _fwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, out_ref, buf, sems):
             sems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    for w in range(NBUF - 1):
+        @pl.when(w < nchunks)
+        def _(w=w):
+            get_dma(w, w).start()
 
     def body(k, carry):
         T_row, acc = carry
-        slot = k % 2
+        slot = k % NBUF
 
-        @pl.when(k + 1 < nchunks)
+        @pl.when(k + NBUF - 1 < nchunks)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma((k + NBUF - 1) % NBUF, k + NBUF - 1).start()
 
         get_dma(slot, k).wait()
         chunk = buf[slot]  # [NF, G]
@@ -214,27 +218,31 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, fwd_ref, gout_ref,
     def put_dma(slot, k):
         return pltpu.make_async_copy(
             wbuf.at[slot],
-            pgrad_ref.at[:, pl.ds(start + k * G, G)],
+            pgrad_ref.at[:, pl.ds(pl.multiple_of(start + k * G, G), G)],
             wsems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    # deep read/write buffering: per-chunk compute is tiny next to DMA
+    # latency; with 2 buffers the read-wait and write-wait serialize
+    NBUF = 4
+    for warm in range(NBUF - 1):
+        @pl.when(warm < nchunks)
+        def _(warm=warm):
+            get_dma(warm, warm).start()
 
     def body(k, carry):
         T_row, gPacc = carry
-        slot = k % 2
+        slot = k % NBUF
 
-        @pl.when(k + 1 < nchunks)
+        @pl.when(k + NBUF - 1 < nchunks)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma((k + NBUF - 1) % NBUF, k + NBUF - 1).start()
 
         get_dma(slot, k).wait()
-        # Wait for the write-DMA that last used this wbuf slot (k - 2).
-        @pl.when(k >= 2)
+        # Wait for the write-DMA that last used this wbuf slot (k - NBUF).
+        @pl.when(k >= NBUF)
         def _():
-            put_dma(slot, k - 2).wait()
+            put_dma(slot, k - NBUF).wait()
 
         chunk = buf[slot]
         q = _chunk_alpha(chunk, px, py, G, P,
@@ -298,13 +306,10 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, fwd_ref, gout_ref,
         (jnp.ones((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)),
     )
     # Drain outstanding write DMAs before the program ends.
-    @pl.when(nchunks >= 1)
-    def _():
-        put_dma((nchunks - 1) % 2, nchunks - 1).wait()
-
-    @pl.when(nchunks >= 2)
-    def _():
-        put_dma((nchunks - 2) % 2, nchunks - 2).wait()
+    for tail in range(1, 5):
+        @pl.when(nchunks >= tail)
+        def _(tail=tail):
+            put_dma((nchunks - tail) % 4, nchunks - tail).wait()
 
 
 def _fwd_call(cfg: RasterCfg, starts, packed):
@@ -322,8 +327,8 @@ def _fwd_call(cfg: RasterCfg, starts, packed):
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, NF, G), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((4, NF, G), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((cfg.ct, OUT_CH, P), jnp.float32),
@@ -349,10 +354,10 @@ def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout):
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, NF, G), jnp.float32),
-                pltpu.VMEM((2, NF, G), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((4, NF, G), jnp.float32),
+                pltpu.VMEM((4, NF, G), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((NF, cfg.align_cap), jnp.float32),
