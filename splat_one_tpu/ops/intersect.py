@@ -352,8 +352,10 @@ def gather_reduction(
     g_sorted = pgrads.T[isect.rank_perm]  # [AL, NF] row gather
     cs = jnp.cumsum(g_sorted.astype(jnp.float32), axis=0)
     cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], axis=0)
-    bounds = isect.rank_bounds
-    per_rank = cs[bounds[1:]] - cs[bounds[:-1]]  # [M0, NF] depth-rank space
+    # one gather at all bounds, then adjacent diffs (gathers are
+    # row-rate-bound: one [M0+1] gather beats two [M0] gathers)
+    cs_at = cs[isect.rank_bounds]  # [M0 + 1, NF]
+    per_rank = cs_at[1:] - cs_at[:-1]  # [M0, NF] depth-rank space
     # un-permute: original flat index j sits at depth-rank inv[j]
     inv = jnp.zeros((M0,), jnp.int32).at[isect.rank_src].set(
         jnp.arange(M0, dtype=jnp.int32)
