@@ -38,6 +38,7 @@ def init_splats_from_points(
     init_opacity: float = 0.1,
     init_scale: float = 1.0,
     seed: int = 0,
+    feature_dim: int = 0,
 ) -> Tuple[Params, jax.Array]:
     """SfM-point initialization (reference gsplat_trainer.py:222-243):
     scales from mean 3-NN distance, random quats, logit opacity.
@@ -68,9 +69,17 @@ def init_splats_from_points(
         "scales": padded(scales.astype(np.float32), cap_val=-10.0),
         "quats": padded(quats, cap_val=1.0),
         "opacities": padded(opac, cap_val=-10.0),
-        "sh0": padded(sh0.astype(np.float32)),
-        "shN": padded(shN),
     }
+    if feature_dim > 0:
+        # appearance-feature path (reference feature_dim branch,
+        # gsplat_trainer.py:259-263): per-gaussian features + logit colors
+        feats = rng.uniform(size=(n, feature_dim)).astype(np.float32)
+        rgbc = np.clip(rgbs.astype(np.float32), 1e-3, 1 - 1e-3)
+        params["features"] = padded(feats)
+        params["colors"] = padded(np.log(rgbc / (1 - rgbc)))
+    else:
+        params["sh0"] = padded(sh0.astype(np.float32))
+        params["shN"] = padded(shN)
     alive = jnp.arange(capacity) < n
     return params, alive
 

@@ -88,7 +88,7 @@ def project_gaussians(
     *,
     sh_coeffs: Optional[jax.Array] = None,  # [N, K, 3]
     sh_degree: int = 0,
-    colors: Optional[jax.Array] = None,  # [N, D] alternative to SH
+    colors: Optional[jax.Array] = None,  # [N, D] or [C, N, D] (per-camera)
     camera_model: str = "pinhole",
     near_plane: float = 0.01,
     far_plane: float = 1e10,
@@ -238,10 +238,17 @@ def project_gaussians(
             col = shlib.eval_sh(sh_degree, sh_coeffs, dirs) + 0.5
             col = jnp.maximum(col, 0.0)
         elif colors is not None:
-            col = colors
+            col = colors if colors.ndim == 2 else None  # per-camera below
         else:
             raise ValueError("either sh_coeffs or colors must be given")
         return Projected(uv, conic, depth, radius, col, opac, ok)
 
+    if colors is not None and colors.ndim == 3:
+        # per-(camera, gaussian) colors (appearance-module path)
+        def per_cam_col(viewmat, K, col_c):
+            pr = per_camera(viewmat, K)
+            return pr._replace(colors=col_c)
+
+        return jax.vmap(per_cam_col)(viewmats, Ks, colors)
     proj = jax.vmap(per_camera)(viewmats, Ks)
     return proj

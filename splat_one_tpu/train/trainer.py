@@ -101,11 +101,13 @@ class Trainer:
         )
         if isinstance(cfg.strategy, MCMCStrategyCfg):
             capacity = max(capacity, _next_pow2(cfg.strategy.cap_max))
+        feat_dim = 32 if cfg.app_opt else 0  # reference :367-369
         if cfg.init_type == "sfm":
             params, alive = G.init_splats_from_points(
                 scene.points, scene.points_rgb, capacity,
                 sh_degree=cfg.sh_degree, init_opacity=cfg.init_opa,
                 init_scale=cfg.init_scale, seed=cfg.seed,
+                feature_dim=feat_dim,
             )
         else:
             params, alive = G.init_splats_random(
@@ -158,6 +160,9 @@ class Trainer:
         self._band_deg = jnp.asarray(_sh_band_degrees(cfg.sh_degree))
         self._hp = opt.adam_hparams(cfg.batch_size)
         self._lrs_base = opt.base_lrs(scene.scene_scale * cfg.global_scale)
+        # appearance-path params (reference lrs, gsplat_trainer.py:259-263)
+        self._lrs_base.setdefault("features", 2.5e-3)
+        self._lrs_base.setdefault("colors", 2.5e-3)
         self._build_steps()
 
     # ------------------------------------------------------------------
@@ -169,11 +174,22 @@ class Trainer:
         band_deg = self._band_deg
         is_mcmc = isinstance(cfg.strategy, MCMCStrategyCfg)
 
-        def render_batch(params, alive, camtoworlds, Ks, step, sh_full=True):
-            means = params["means"]
-            quats = params["quats"]
-            scales = jnp.exp(params["scales"])
-            opac = jax.nn.sigmoid(params["opacities"])
+        def color_input(params, app_params, camtoworlds, image_ids, step):
+            """(colors, sh_degree) for rasterization: SH coefficients with
+            degree-ramp band masking, or the appearance-MLP path
+            (reference gsplat_trainer.py:599-610)."""
+            if cfg.app_opt:
+                from splat_one_tpu.train import appearance as APP
+
+                campos = camtoworlds[:, :3, 3]  # [B, 3]
+                dirs = params["means"][None] - campos[:, None]  # [B, CAP, 3]
+                logits = APP.appearance_color(
+                    app_params, params["features"], image_ids, dirs,
+                    cfg.sh_degree,
+                )
+                return jax.nn.sigmoid(
+                    logits + params["colors"][None]
+                ), None
             active = jnp.minimum(
                 step // cfg.sh_degree_interval, cfg.sh_degree
             )
@@ -181,12 +197,23 @@ class Trainer:
             sh = jnp.concatenate(
                 [params["sh0"], params["shN"] * mask], axis=1
             )
+            return sh, cfg.sh_degree
+
+        def render_batch(params, alive, camtoworlds, Ks, step,
+                         image_ids=None, app_params=None):
+            means = params["means"]
+            quats = params["quats"]
+            scales = jnp.exp(params["scales"])
+            opac = jax.nn.sigmoid(params["opacities"])
+            sh, sh_deg = color_input(
+                params, app_params, camtoworlds, image_ids, step
+            )
             viewmats = invert_se3(camtoworlds)
             B = camtoworlds.shape[0]
             dummy = jnp.zeros((B, means.shape[0], 2))
             render, alpha, info = rasterization(
                 means, quats, scales, opac, sh, viewmats, Ks, W, H,
-                sh_degree=cfg.sh_degree,
+                sh_degree=sh_deg,
                 near_plane=cfg.near_plane, far_plane=cfg.far_plane,
                 tile_size=cfg.tile_size, camera_model=cfg.camera_model,
                 render_mode="RGB+ED",
@@ -199,8 +226,8 @@ class Trainer:
             )
             return render, alpha, info
 
-        def loss_fn(params, pose_params, bil_grids, dummies, batch, alive,
-                    step, key):
+        def loss_fn(params, pose_params, bil_grids, app_params, dummies,
+                    batch, alive, step, key):
             camtoworlds = batch["camtoworld"]
             if cfg.pose_opt:
                 embeds = pose_params[batch["image_id"]]
@@ -209,17 +236,13 @@ class Trainer:
             quats = params["quats"]
             scales = jnp.exp(params["scales"])
             opac = jax.nn.sigmoid(params["opacities"])
-            active = jnp.minimum(
-                step // cfg.sh_degree_interval, cfg.sh_degree
-            )
-            mask = (band_deg <= active).astype(jnp.float32)[None, :, None]
-            sh = jnp.concatenate(
-                [params["sh0"], params["shN"] * mask], axis=1
+            sh, sh_deg = color_input(
+                params, app_params, camtoworlds, batch["image_id"], step
             )
             viewmats = invert_se3(camtoworlds)
             render, alpha, info = rasterization(
                 means, quats, scales, opac, sh, viewmats, batch["K"], W, H,
-                sh_degree=cfg.sh_degree,
+                sh_degree=sh_deg,
                 near_plane=cfg.near_plane, far_plane=cfg.far_plane,
                 tile_size=cfg.tile_size, camera_model=cfg.camera_model,
                 render_mode="RGB+ED",
@@ -282,11 +305,14 @@ class Trainer:
                 if cfg.use_bilateral_grid
                 else jnp.zeros((1, 1, 1, 1, 12))
             )
-            grad_fn = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            app_in = (
+                state.app_params if cfg.app_opt else {"_": jnp.zeros(())}
             )
-            (loss, aux), (gp, gpose, gbil, gdum) = grad_fn(
-                state.params, pose_in, bil_in, dummies, batch,
+            grad_fn = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
+            )
+            (loss, aux), (gp, gpose, gbil, gapp, gdum) = grad_fn(
+                state.params, pose_in, bil_in, app_in, dummies, batch,
                 state.alive, step, key,
             )
             # densification statistics (absgrad or plain grad per strategy)
@@ -312,6 +338,16 @@ class Trainer:
                 b1=hp["b1"], b2=hp["b2"], eps=hp["eps"],
                 visible_mask=visible,
             )
+            app_params, app_opt_state = state.app_params, state.app_opt_state
+            if cfg.app_opt:
+                gapp_wd = jax.tree.map(
+                    lambda g, w: g + cfg.app_opt_reg * w, gapp,
+                    state.app_params,
+                )
+                app_params, app_opt_state = opt.adam_update(
+                    gapp_wd, state.app_opt_state, state.app_params,
+                    {k: jnp.asarray(cfg.app_opt_lr) for k in state.app_params},
+                )
             bil_grids, bil_opt_state = state.bil_grids, state.bil_opt_state
             if cfg.use_bilateral_grid:
                 bg, bil_opt_state = opt.adam_update(
@@ -340,8 +376,8 @@ class Trainer:
                 strat=strat, step=step + 1,
                 pose_params=pose_params, pose_opt_state=pose_opt_state,
                 bil_grids=bil_grids, bil_opt_state=bil_opt_state,
-                app_params=state.app_params,
-                app_opt_state=state.app_opt_state,
+                app_params=app_params,
+                app_opt_state=app_opt_state,
             )
             metrics = dict(aux["metrics"])
             metrics["n_isect"] = aux["n_isect"]
@@ -374,10 +410,11 @@ class Trainer:
             )
             return state._replace(params=params, opt_state=opt_state)
 
-        def eval_render(state: TrainState, camtoworld, K):
+        def eval_render(state: TrainState, camtoworld, K, image_id):
             render, alpha, _ = render_batch(
                 state.params, state.alive, camtoworld, K,
                 jnp.asarray(cfg.max_steps),
+                image_ids=image_id, app_params=state.app_params,
             )
             rgb = jnp.clip(render[..., 0:3], 0.0, 1.0)
             depth = render[..., 3:4] / jnp.clip(alpha, 1e-6, None)
@@ -467,7 +504,7 @@ class Trainer:
             b = self._batch(np.array([i]))
             t0 = time.time()
             rgb, alpha, depth = self._eval_render(
-                self.state, b["camtoworld"], b["K"]
+                self.state, b["camtoworld"], b["K"], b["image_id"]
             )
             rgb = jax.block_until_ready(rgb)
             times.append(time.time() - t0)
@@ -576,7 +613,8 @@ class Trainer:
         K = self.scene.Ks[len(self.scene.Ks) // 2]
         for fi, c2w in enumerate(path):
             rgb, alpha, depth = self._eval_render(
-                self.state, jnp.asarray(c2w[None]), jnp.asarray(K[None])
+                self.state, jnp.asarray(c2w[None]), jnp.asarray(K[None]),
+                jnp.zeros((1,), jnp.int32),
             )
             rgb = np.asarray(jnp.clip(rgb[0], 0, 1))
             d = np.asarray(depth[0, ..., 0])
@@ -636,6 +674,7 @@ class Trainer:
             self.state,
             jnp.asarray(camtoworld[None]),
             jnp.asarray(K[None]),
+            jnp.zeros((1,), jnp.int32),
         )
         return np.asarray(rgb[0]), np.asarray(depth[0])
 

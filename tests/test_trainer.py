@@ -169,3 +169,19 @@ class TestTrainerExtras:
         assert np.isfinite([h["loss"] for h in hist]).all()
         # grids actually learn (move away from identity init)
         assert float(np.abs(np.array(tr.state.bil_grids) - g0).max()) > 0
+
+    def test_app_opt_training(self, scene, tmp_path):
+        cfg = small_cfg(
+            tmp_path, app_opt=True, max_steps=8, eval_steps=[], save_steps=[],
+        )
+        tr = Trainer(cfg, scene)
+        assert "features" in tr.state.params
+        assert "sh0" not in tr.state.params
+        e0 = np.array(tr.state.app_params["embeds"])
+        hist = tr.train(log_every=4)
+        assert np.isfinite([h["loss"] for h in hist]).all()
+        # appearance params learn
+        assert float(np.abs(np.array(tr.state.app_params["embeds"]) - e0).max()) > 0
+        # eval works through the appearance path
+        stats = tr.eval(8)
+        assert np.isfinite(stats["psnr"])
