@@ -244,3 +244,41 @@ class TestTraj:
             path = fn(c2ws, n_frames=24)
             assert len(path) == 24
             self._check(path)
+
+
+class TestDepthSupervision:
+    def test_sparse_depth_projection(self):
+        from splat_one_tpu.data import depth_supervision as DS
+
+        # point straight ahead of an identity camera at depth 3
+        pts = np.array([[0.0, 0.0, 3.0], [0.5, 0.0, 3.0]])
+        c2w = np.eye(4)
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+        d = DS.sparse_depth_map(pts, c2w, K, 64, 64)
+        assert d.shape == (64, 64, 1)
+        assert abs(d[32, 32, 0] - 3.0) < 1e-6
+        # second point at u = 60*0.5/3 + 32 = 42
+        assert abs(d[32, 42, 0] - 3.0) < 1e-6
+        assert (d > 0).sum() == 2
+
+    def test_nearest_point_wins(self):
+        from splat_one_tpu.data import depth_supervision as DS
+
+        pts = np.array([[0.0, 0.0, 5.0], [0.0, 0.0, 2.0]])
+        c2w = np.eye(4)
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+        d = DS.sparse_depth_map(pts, c2w, K, 64, 64)
+        assert abs(d[32, 32, 0] - 2.0) < 1e-6
+
+    def test_maps_from_tracks(self):
+        from splat_one_tpu.data import depth_supervision as DS
+
+        tracks = [{0: 0, 1: 1}, {0: 2}]
+        points = {0: np.array([0.0, 0, 3.0]), 1: np.array([0.1, 0, 4.0])}
+        c2ws = np.tile(np.eye(4), (2, 1, 1))
+        Ks = np.tile(
+            np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]]), (2, 1, 1)
+        )
+        maps = DS.depth_maps_from_tracks(tracks, points, c2ws, Ks, 64, 64)
+        assert maps.shape == (2, 64, 64, 1)
+        assert (maps[0] > 0).sum() == 2  # tracks 0 (pt 0) and 1 (pt 1 missing -> only pt0? track1 has pt id 1)
