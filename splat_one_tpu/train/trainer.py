@@ -450,6 +450,9 @@ class Trainer:
         perm = rng.permutation(self.train_idx)
         pos = 0
         history = []
+        from splat_one_tpu.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(self.result_dir, "tb"))
         for step in range(int(self.state.step), cfg.max_steps):
             if stop_flag is not None and stop_flag():
                 break
@@ -487,10 +490,36 @@ class Trainer:
                 m["num_GS"] = int(G.n_alive(self.state.alive))
                 m["time_s"] = time.time() - t_start
                 history.append(m)
+            if (step + 1) % cfg.tb_every == 0:
+                # TensorBoard scalars (reference gsplat_trainer.py:665-680)
+                for k in ("loss", "l1", "ssim"):
+                    if k in metrics:
+                        tb.add_scalar(f"train/{k}", float(metrics[k]),
+                                      step + 1)
+                tb.add_scalar(
+                    "train/num_GS", int(G.n_alive(self.state.alive)),
+                    step + 1,
+                )
+                tb.flush()
             if (step + 1) in cfg.save_steps:
                 self.save_checkpoint(step + 1)
+                # train stats JSON (reference :682-691)
+                stats = {
+                    "step": step + 1,
+                    "ellipse_time": time.time() - t_start,
+                    "num_GS": int(G.n_alive(self.state.alive)),
+                }
+                with open(
+                    os.path.join(
+                        self.result_dir, "stats",
+                        f"train_step{step + 1:04d}.json",
+                    ),
+                    "w",
+                ) as f:
+                    json.dump(stats, f)
             if (step + 1) in cfg.eval_steps:
                 self.eval(step + 1)
+        tb.close()
         return history
 
     # ------------------------------------------------------------------

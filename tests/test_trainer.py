@@ -185,3 +185,25 @@ class TestTrainerExtras:
         # eval works through the appearance path
         stats = tr.eval(8)
         assert np.isfinite(stats["psnr"])
+
+    def test_tensorboard_and_stats_outputs(self, scene, tmp_path):
+        import os
+
+        cfg = small_cfg(
+            tmp_path, max_steps=4, eval_steps=[], save_steps=[4], tb_every=2,
+        )
+        tr = Trainer(cfg, scene)
+        tr.train(log_every=2)
+        tb_files = os.listdir(os.path.join(str(tmp_path), "tb"))
+        assert any(f.startswith("events.out.tfevents") for f in tb_files)
+        # event file is non-trivial and TFRecord-framed
+        p = os.path.join(str(tmp_path), "tb", tb_files[0])
+        data = open(p, "rb").read()
+        assert len(data) > 100
+        import struct
+
+        ln = struct.unpack("<Q", data[:8])[0]
+        assert 0 < ln < 1000  # first record: file-version event
+        assert os.path.exists(
+            os.path.join(str(tmp_path), "stats", "train_step0004.json")
+        )
