@@ -50,6 +50,11 @@ def main(argv=None):
             sp.add_argument("--order-neighbors", type=int, default=0)
             sp.add_argument("--gps-neighbors", type=int, default=0)
 
+    sp = sub.add_parser("create-masks")
+    sp.add_argument("workdir")
+    sp.add_argument("--clicks", default=None)
+    sp.add_argument("--checkpoint", default=None)
+
     sp = sub.add_parser("resize")
     sp.add_argument("workdir")
     sp.add_argument("--max-dim", type=int, required=True)
@@ -111,6 +116,12 @@ def main(argv=None):
         pipeline.create_tracks(args.workdir)
         report = pipeline.reconstruct(args.workdir)
         print(json.dumps(report, indent=2, default=str))
+    elif args.cmd == "create-masks":
+        n = pipeline.create_masks(
+            args.workdir, clicks_path=args.clicks,
+            checkpoint=args.checkpoint, progress=_progress("masks"),
+        )
+        print(f"wrote {n} masks")
     elif args.cmd == "resize":
         from splat_one_tpu.app.image_processing import ImageProcessor
 

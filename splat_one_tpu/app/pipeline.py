@@ -115,6 +115,15 @@ def detect_features(
         )
         valid = np.asarray(feats.valid)
         xys = np.asarray(feats.xys) / scale  # original pixel coords
+        # masks/<img>.png (value 0 = masked out, the OpenSfM convention the
+        # reference's SAM2 stage writes, mask_manager.py:245-248): drop
+        # keypoints inside masked regions so moving objects don't anchor SfM
+        mask_path = os.path.join(workdir, "masks", name + ".png")
+        if os.path.exists(mask_path):
+            m = np.asarray(Image.open(mask_path).convert("L"))
+            xi = np.clip(xys[:, 0].astype(int), 0, m.shape[1] - 1)
+            yi = np.clip(xys[:, 1].astype(int), 0, m.shape[0] - 1)
+            valid = valid & (m[yi, xi] > 127)
         # bearings from the camera model
         if cam["projection_type"] == "spherical":
             K = np.eye(3, dtype=np.float32)
@@ -307,3 +316,46 @@ def train_splats(workdir: str, cfg=None, max_images: Optional[int] = None):
     trainer = Trainer(cfg, scene)
     history = trainer.train()
     return trainer, history
+
+
+def create_masks(
+    workdir: str,
+    clicks_path: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    progress: ProgressFn = None,
+) -> int:
+    """Promptable masking stage (the reference's SAM2 masks tab,
+    app/mask_manager.py): reads ``masks_clicks.json`` —
+    ``{image_name: {"points": [[x, y], ...], "labels": [1, 0, ...]}}`` —
+    runs the predictor, writes inverted masks to ``masks/<img>.png``."""
+    import json as _json
+
+    from splat_one_tpu.models.segmentation import build_predictor, save_mask
+
+    clicks_path = clicks_path or os.path.join(workdir, "masks_clicks.json")
+    if not os.path.exists(clicks_path):
+        return 0
+    with open(clicks_path) as f:
+        clicks = _json.load(f)
+    from PIL import Image
+
+    pred = build_predictor(checkpoint)
+    n = 0
+    for i, (name, spec) in enumerate(sorted(clicks.items())):
+        img_path = os.path.join(workdir, "images", name)
+        if not os.path.exists(img_path):
+            continue
+        img = np.asarray(Image.open(img_path).convert("RGB"))
+        pred.set_image(img)
+        masks, scores, _ = pred.predict(
+            np.asarray(spec["points"], np.float32),
+            np.asarray(spec["labels"], np.int32),
+        )
+        save_mask(
+            masks[0], os.path.join(workdir, "masks", name + ".png"),
+            invert=True,
+        )
+        n += 1
+        if progress:
+            progress(i + 1, len(clicks))
+    return n

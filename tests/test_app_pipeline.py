@@ -129,3 +129,51 @@ class TestWorkdirPipeline:
         # Sub-pixel accuracy tightening is round-2 work.
         assert err.max() < 0.8 * spread, (err, spread)
         assert np.median(err) < 0.35 * spread, (err, spread)
+
+
+class TestMaskStage:
+    def test_masks_filter_features(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        from splat_one_tpu.app import pipeline
+
+        wd = str(tmp_path)
+        os.makedirs(os.path.join(wd, "images"))
+        rng = np.random.default_rng(0)
+        # textured image so the detector fires everywhere
+        img = (rng.uniform(size=(96, 128)) * 255).astype(np.uint8)
+        import scipy.ndimage as ndi
+
+        img = ndi.gaussian_filter(img.astype(np.float32), 1.5)
+        img = (
+            (img - img.min()) / (img.max() - img.min()) * 255
+        ).astype(np.uint8)
+        Image.fromarray(img).convert("RGB").save(
+            os.path.join(wd, "images", "a.png")
+        )
+        pipeline.extract_metadata(wd)
+        # clicks select the left half (classical predictor region-grows)
+        json.dump(
+            {"a.png": {"points": [[20, 48], [120, 48]], "labels": [1, 0]}},
+            open(os.path.join(wd, "masks_clicks.json"), "w"),
+        )
+        n = pipeline.create_masks(wd)
+        assert n == 1
+        mask = np.asarray(
+            Image.open(os.path.join(wd, "masks", "a.png.png"))
+            if os.path.exists(os.path.join(wd, "masks", "a.png.png"))
+            else Image.open(os.path.join(wd, "masks", "a.png"))
+        )
+        assert (mask == 0).any() and (mask == 255).any()
+
+        pipeline.detect_features(wd, max_keypoints=512,
+                                 feature_process_size=128)
+        z = np.load(os.path.join(wd, "features", "a.png.features.npz"))
+        xys = z["xys"][z["valid"]]
+        # kept features avoid the masked (value 0) region
+        m = mask if mask.ndim == 2 else mask[..., 0]
+        xi = np.clip(xys[:, 0].astype(int), 0, m.shape[1] - 1)
+        yi = np.clip(xys[:, 1].astype(int), 0, m.shape[0] - 1)
+        assert (m[yi, xi] > 127).all()
