@@ -146,13 +146,24 @@ def build_intersections(
     tile_size: int,
     caps: IsectCaps,
     camera_model: str = "pinhole",
+    tile_lo=None,
+    n_tiles_local: int = 0,
 ) -> IsectData:
-    """Build the sorted, aligned intersection layout from projected gaussians."""
+    """Build the sorted, aligned intersection layout from projected gaussians.
+
+    With ``tile_lo``/``n_tiles_local`` set, only tiles in
+    ``[tile_lo, tile_lo + n_tiles_local)`` of the flattened (camera, tile)
+    grid are kept, with ids re-based to the local range — the per-device
+    path of tile-sharded multi-chip rasterization (``tile_lo`` may be a
+    traced value; shapes depend only on the static ``n_tiles_local``).
+    """
     C, N = proj.depths.shape
     TW = -(-width // tile_size)
     TH = -(-height // tile_size)
     T = TH * TW
     CT = C * T
+    if n_tiles_local:
+        CT = n_tiles_local
     M0 = C * N
     G = caps.chunk
     EXP = caps.exp_cap
@@ -202,6 +213,9 @@ def build_intersections(
     tile_y = meta_s[:, 1] + ly
     cam = g_of_s // N
     tile_id = cam * T + tile_y * TW + tile_x
+    if n_tiles_local:
+        tile_id = tile_id - tile_lo
+        slot_ok &= (tile_id >= 0) & (tile_id < CT)
     tile_id = jnp.where(slot_ok, tile_id, CT).astype(jnp.int32)
 
     # 4. stable sort by (camera, tile), carrying the gaussian rank as payload;
@@ -255,10 +269,15 @@ def build_intersections(
     _, rank_perm = jax.lax.sort(
         [slot_rank, p_ids], is_stable=True, num_keys=1
     )
-    rank_bounds = jnp.clip(
-        jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]),
-        0, AL,
-    )
+    # rank r's run length in by-rank order = its number of KEPT expansion
+    # slots (tile-range filtering and overflow truncation both drop slots);
+    # each gaussian's expansion slots are contiguous at [offsets[r], ...),
+    # so the exclusive cumsum of kept counts is one prefix-sum gather.
+    fcum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(slot_ok.astype(jnp.int32))]
+    )  # [EXP + 1]
+    pos = jnp.concatenate([offsets, offsets[-1:] + counts[-1:]])  # [M0 + 1]
+    rank_bounds = fcum[jnp.clip(pos, 0, EXP)]
 
     return IsectData(
         slot_rank=slot_rank,

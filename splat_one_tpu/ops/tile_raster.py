@@ -133,12 +133,13 @@ def _mm(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, out_ref, buf, sems):
+def _fwd_kernel(cfg: RasterCfg, starts_ref, off_ref, packed_ref, out_ref,
+                buf, sems):
     G, P = cfg.chunk, cfg.npix
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], G)
     nchunks = (starts_ref[t + 1] - start) // G
-    px, py = _tile_pixel_coords(cfg, t)
+    px, py = _tile_pixel_coords(cfg, t + off_ref[0])
     tri_strict, _ = _tri_matrices(G)
 
     NBUF = 4  # deep buffering: per-chunk compute (~0.2 us of MXU work)
@@ -189,13 +190,13 @@ def _fwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, out_ref, buf, sems):
     out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
-def _bwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, fwd_ref, gout_ref,
-                pgrad_ref, buf, wbuf, sems, wsems):
+def _bwd_kernel(cfg: RasterCfg, starts_ref, off_ref, packed_ref, fwd_ref,
+                gout_ref, pgrad_ref, buf, wbuf, sems, wsems):
     G, P = cfg.chunk, cfg.npix
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], G)
     nchunks = (starts_ref[t + 1] - start) // G
-    px, py = _tile_pixel_coords(cfg, t)
+    px, py = _tile_pixel_coords(cfg, t + off_ref[0])
     tri_strict, tri_incl = _tri_matrices(G)
 
     out4 = jnp.concatenate(
@@ -312,18 +313,20 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, packed_ref, fwd_ref, gout_ref,
             put_dma((nchunks - tail) % 4, nchunks - tail).wait()
 
 
-def _fwd_call(cfg: RasterCfg, starts, packed):
+def _fwd_call(cfg: RasterCfg, starts, packed, tile_offset=None):
     G, P = cfg.chunk, cfg.npix
     grid = (cfg.ct,)
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_fwd_kernel, cfg)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, OUT_CH, P), lambda t, s: (t, 0, 0),
+                (1, OUT_CH, P), lambda t, s, o: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -333,23 +336,26 @@ def _fwd_call(cfg: RasterCfg, starts, packed):
         ),
         out_shape=jax.ShapeDtypeStruct((cfg.ct, OUT_CH, P), jnp.float32),
         interpret=_use_interpret(),
-    )(starts, packed)
+    )(starts, tile_offset, packed)
 
 
-def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout):
+def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout,
+              tile_offset=None):
     G, P = cfg.chunk, cfg.npix
     grid = (cfg.ct,)
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_bwd_kernel, cfg)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # packed
-                pl.BlockSpec((1, OUT_CH, P), lambda t, s: (t, 0, 0),
+                pl.BlockSpec((1, OUT_CH, P), lambda t, s, o: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # fwd_out
-                pl.BlockSpec((1, OUT_CH, P), lambda t, s: (t, 0, 0),
+                pl.BlockSpec((1, OUT_CH, P), lambda t, s, o: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # gout
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -363,7 +369,7 @@ def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout):
         out_shape=jax.ShapeDtypeStruct((NF, cfg.align_cap), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_use_interpret(),
-    )(starts, packed, fwd_out, gout)
+    )(starts, tile_offset, packed, fwd_out, gout)
 
 
 @functools.lru_cache(maxsize=32)
@@ -381,30 +387,34 @@ def _make_composite_fn(cfg: RasterCfg):
     M0 = C * N
 
     def fwd_impl(means2d, conics, colors, opacities, depths, abs_dummy,
-                 *isect_arrays):
+                 tile_offset, *isect_arrays):
         isect = IsectData(*isect_arrays)
         packed = isect_mod.pack_fields(
             means2d, conics, colors, opacities, depths, isect
         )
-        return _fwd_call(cfg, isect.tile_starts, packed), packed
+        return _fwd_call(
+            cfg, isect.tile_starts, packed, tile_offset
+        ), packed
 
     @jax.custom_vjp
     def composite(means2d, conics, colors, opacities, depths, abs_dummy,
-                  *isect_arrays):
+                  tile_offset, *isect_arrays):
         out, _ = fwd_impl(means2d, conics, colors, opacities, depths,
-                          abs_dummy, *isect_arrays)
+                          abs_dummy, tile_offset, *isect_arrays)
         return out
 
     def composite_fwd(means2d, conics, colors, opacities, depths, abs_dummy,
-                      *isect_arrays):
+                      tile_offset, *isect_arrays):
         out, packed = fwd_impl(means2d, conics, colors, opacities, depths,
-                               abs_dummy, *isect_arrays)
-        return out, (packed, isect_arrays, out)
+                               abs_dummy, tile_offset, *isect_arrays)
+        return out, (packed, tile_offset, isect_arrays, out)
 
     def composite_bwd(res, gout):
-        packed, isect_arrays, fwd_out = res
+        packed, tile_offset, isect_arrays, fwd_out = res
         isect = IsectData(*isect_arrays)
-        pgrads = _bwd_call(cfg, isect.tile_starts, packed, fwd_out, gout)
+        pgrads = _bwd_call(
+            cfg, isect.tile_starts, packed, fwd_out, gout, tile_offset
+        )
         # Per-gaussian reduction: by-gaussian permute + cumsum + boundary
         # diffs (no scatter; see intersect.gather_reduction).
         seg = isect_mod.gather_reduction(pgrads, isect, M0)  # [M0, NF]
@@ -426,7 +436,9 @@ def _make_composite_fn(cfg: RasterCfg):
             [g(isect_mod.GROW_ABSDX), g(isect_mod.GROW_ABSDY)], axis=-1
         ).reshape(C, N, 2)
         nones = (None,) * len(isect_arrays)
-        return (dmeans2d, dconics, dcolors, dopac, ddepth, dabs) + nones
+        return (
+            dmeans2d, dconics, dcolors, dopac, ddepth, dabs, None,
+        ) + nones
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -441,12 +453,16 @@ def composite_tiles(
     depths: jax.Array,  # [C, N]
     isect: IsectData,
     abs_dummy: jax.Array | None = None,
+    tile_offset: jax.Array | None = None,
 ):
     """Differentiable per-tile compositing. Returns [CT, OUT_CH, P]."""
     if abs_dummy is None:
         abs_dummy = jnp.zeros_like(means2d)
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     fn = _make_composite_fn(cfg)
-    return fn(means2d, conics, colors, opacities, depths, abs_dummy, *isect)
+    return fn(means2d, conics, colors, opacities, depths, abs_dummy,
+              tile_offset, *isect)
 
 
 def tiles_to_image(cfg: RasterCfg, tile_out: jax.Array):
