@@ -69,6 +69,9 @@ def main(argv=None):
                     default="default")
     sp.add_argument("--max-images", type=int, default=None)
     sp.add_argument("--data-factor", type=int, default=1)
+    sp.add_argument("--ckpt", default=None,
+                    help="eval-only: load checkpoint, run eval+traj")
+    sp.add_argument("--compression", choices=["png"], default=None)
 
     sp = sub.add_parser("viewer")
     sp.add_argument("workdir")
@@ -142,6 +145,8 @@ def main(argv=None):
             max_steps=args.max_steps,
             sh_degree=args.sh_degree,
             data_factor=args.data_factor,
+            ckpt=[args.ckpt] if args.ckpt else None,
+            compression=args.compression,
             strategy=(
                 MCMCStrategyCfg()
                 if args.strategy == "mcmc"
@@ -151,8 +156,10 @@ def main(argv=None):
         trainer, history = pipeline.train_splats(
             args.workdir, cfg, max_images=args.max_images
         )
-        if history:
+        if isinstance(history, list) and history:
             print(f"final: {history[-1]}")
+        elif isinstance(history, dict):
+            print(f"eval: {history}")
     elif args.cmd == "viewer":
         from splat_one_tpu.app.viewer import serve_workdir
 

@@ -314,7 +314,7 @@ def train_splats(workdir: str, cfg=None, max_images: Optional[int] = None):
     cfg.result_dir = os.path.join(workdir, "results")
     cfg.camera_model = scene.camera_model
     trainer = Trainer(cfg, scene)
-    history = trainer.train()
+    history = trainer.run()  # trains, or eval-only when cfg.ckpt is set
     return trainer, history
 
 

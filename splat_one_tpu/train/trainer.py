@@ -607,6 +607,25 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def run(self):
+        """Reference entry semantics (gsplat_trainer.py:950-961): with
+        ``cfg.ckpt`` set, load and run eval / trajectory render /
+        compression only; otherwise train."""
+        if self.cfg.ckpt:
+            for path in (
+                self.cfg.ckpt
+                if isinstance(self.cfg.ckpt, (list, tuple))
+                else [self.cfg.ckpt]
+            ):
+                self.load_checkpoint(path)
+            step = int(self.state.step)
+            stats = self.eval(step)
+            self.render_traj(step)
+            if self.cfg.compression == "png":
+                self.run_compression(step)
+            return stats
+        return self.train()
+
     def render_traj(self, step: int, n_frames: int = 60) -> str:
         """Render an interpolated/ellipse/spiral trajectory video
         (reference Runner.render_traj, :843-900): RGB | normalized-depth

@@ -207,3 +207,17 @@ class TestTrainerExtras:
         assert os.path.exists(
             os.path.join(str(tmp_path), "stats", "train_step0004.json")
         )
+
+    def test_ckpt_eval_only(self, scene, tmp_path):
+        import dataclasses
+
+        cfg = small_cfg(tmp_path, max_steps=3, eval_steps=[], save_steps=[3])
+        tr = Trainer(cfg, scene)
+        tr.train(log_every=3)
+        ckpt = tr.save_checkpoint(3)
+        cfg2 = small_cfg(tmp_path, max_steps=3, eval_steps=[], save_steps=[])
+        cfg2.ckpt = [ckpt]
+        tr2 = Trainer(cfg2, scene)
+        stats = tr2.run()  # must NOT train: runs eval + traj instead
+        assert "psnr" in stats
+        assert int(tr2.state.step) == 3
