@@ -473,6 +473,13 @@ class Trainer:
                 and (step + 1) % strat_cfg.refine_every == 0
             ):
                 self.state, rinfo = self._refine_step(self.state, k2)
+                # capacity pressure: grow the buffers (the single designed
+                # recompile point, SURVEY.md §7 hard part 3) when nearly full
+                frac = int(G.n_alive(self.state.alive)) / self.capacity
+                if frac > 0.9 and not isinstance(
+                    strat_cfg, MCMCStrategyCfg
+                ):
+                    self._grow_capacity(self.capacity * 2)
             if (
                 not is_mcmc
                 and (step + 1) % strat_cfg.reset_every == 0
@@ -523,6 +530,33 @@ class Trainer:
         return history
 
     # ------------------------------------------------------------------
+    def _grow_capacity(self, new_capacity: int):
+        """Double the splat buffers + optimizer/strategy state and rebuild
+        the jitted steps (deliberate recompile; everything else stays
+        recompile-free)."""
+        from splat_one_tpu.ops.intersect import IsectCaps
+
+        params, alive = G.grow_capacity(
+            self.state.params, self.state.alive, new_capacity
+        )
+        m, _ = G.grow_capacity(self.state.opt_state.m, self.state.alive,
+                               new_capacity)
+        v, _ = G.grow_capacity(self.state.opt_state.v, self.state.alive,
+                               new_capacity)
+        self.state = self.state._replace(
+            params=params, alive=alive,
+            opt_state=opt.AdamState(m=m, v=v,
+                                    count=self.state.opt_state.count),
+            strat=S.strategy_init(new_capacity),
+        )
+        self.capacity = new_capacity
+        self.caps = IsectCaps.choose(
+            new_capacity, self.cfg.batch_size,
+            _n_tiles(self.width, self.height, self.cfg.tile_size),
+            avg_tiles_per_gaussian=self.cfg.avg_tiles_per_gaussian,
+        )
+        self._build_steps()
+
     def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
         """PSNR/SSIM over the validation split (reference Runner.eval,
         :779-841); stats JSON under results/stats/."""

@@ -221,3 +221,23 @@ class TestTrainerExtras:
         stats = tr2.run()  # must NOT train: runs eval + traj instead
         assert "psnr" in stats
         assert int(tr2.state.step) == 3
+
+    def test_capacity_growth(self, scene, tmp_path):
+        # tiny capacity + aggressive growth forces the recompile point
+        cfg = small_cfg(
+            tmp_path,
+            capacity=256,
+            max_steps=30,
+            eval_steps=[],
+            save_steps=[],
+            strategy=DefaultStrategyCfg(
+                refine_start_iter=2, refine_stop_iter=100, refine_every=4,
+                reset_every=10_000, grow_grad2d=1e-9,
+            ),
+        )
+        tr = Trainer(cfg, scene)
+        assert tr.capacity == 256
+        hist = tr.train(log_every=10)
+        assert tr.capacity >= 512  # grew at least once
+        assert np.isfinite([h["loss"] for h in hist]).all()
+        assert int(tr.state.alive.sum()) > 256  # uses the new space
