@@ -154,9 +154,18 @@ def make_sharded_train_step(
         )(params, dummies)
         # data-parallel gradient reduction over ICI
         gp = jax.lax.psum(gp, "data")
-        gdum = jax.lax.psum(gdum, "data")
 
-        strat = S.strategy_update(strat, gdum["m2d"], radii, width, height)
+        # Densification stats: take per-camera grad norms and visibility
+        # counts over LOCAL cameras first, then psum the per-gaussian scalars
+        # over 'data' (psum of the raw 2-vectors would sum different cameras'
+        # gradient directions before the norm — wrong statistic).
+        delta = S.strategy_update(
+            S.strategy_init(cap_local), gdum["m2d"], radii, width, height
+        )
+        strat = S.StrategyState(
+            grad2d=strat.grad2d + jax.lax.psum(delta.grad2d, "data"),
+            count=strat.count + jax.lax.psum(delta.count, "data"),
+        )
 
         lrs = {k: v * hp["lr_scale"] for k, v in lrs_base.items()}
         lrs["means"] = lrs["means"] * opt.means_lr_decay(step, max_steps)

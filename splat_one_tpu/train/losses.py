@@ -30,15 +30,20 @@ def depth_loss(
     render_depth: jax.Array,  # [B, H, W, 1] accumulated depth
     alphas: jax.Array,  # [B, H, W, 1]
     gt_depth: jax.Array,  # [B, H, W, 1] metric depth (0 = missing)
+    scene_scale: float = 1.0,
 ) -> jax.Array:
     """Disparity L1 against supervision depth (reference depth_loss path,
-    gsplat_trainer.py:630-645 projects tracked points; here dense maps)."""
+    gsplat_trainer.py:630-645 projects tracked points; here dense maps).
+
+    The reference scales the disparity L1 by ``scene_scale`` before the
+    ``depth_lambda`` weighting so supervision strength is invariant to the
+    world-normalization scale."""
     d = render_depth / jnp.clip(alphas, 1e-6, None)
     valid = gt_depth > 1e-6
     disp = jnp.where(valid, 1.0 / jnp.clip(d, 1e-6, None), 0.0)
     disp_gt = jnp.where(valid, 1.0 / jnp.clip(gt_depth, 1e-6, None), 0.0)
     n = jnp.maximum(jnp.sum(valid), 1)
-    return jnp.sum(jnp.abs(disp - disp_gt)) / n
+    return jnp.sum(jnp.abs(disp - disp_gt)) / n * scene_scale
 
 
 def regularizers(

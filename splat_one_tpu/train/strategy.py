@@ -204,16 +204,15 @@ def default_refine(
         m = split_here.reshape((-1,) + (1,) * (params[k].ndim - 1))
         params[k] = jnp.where(m, child1[k], params[k])
 
-    alive = alive | (
-        jnp.zeros((cap,), bool)
-        .at[jnp.clip(targets, 0, cap - 1)]
-        .set(granted, mode="drop")
-        & (jnp.arange(cap) >= 0)
+    # raw targets: non-granted children carry target==cap, which mode="drop"
+    # discards (clipping them to cap-1 would race the legitimate write there)
+    alive = alive | jnp.zeros((cap,), bool).at[targets].set(
+        granted, mode="drop"
     )
     # zero Adam moments for touched slots: new children + re-sampled parents
     touched = split_here
     touched = touched | (
-        jnp.zeros((cap,), bool).at[jnp.clip(targets, 0, cap - 1)].set(granted)
+        jnp.zeros((cap,), bool).at[targets].set(granted, mode="drop")
     )
     touched = touched | is_prune
     opt_state = surgery_zero_moments(opt_state, touched)
@@ -343,14 +342,20 @@ def mcmc_noise(
     noise_lr: float = 5e5,
 ) -> Params:
     """Per-step SGLD-style noise injection on means, scaled by the gaussian's
-    covariance and gated by opacity (gsplat MCMC add_noise_to_splats)."""
+    covariance and gated by opacity (gsplat MCMC _add_noise_to_splats).
+
+    gsplat: noise = randn * op_sigmoid(1 - opa; k=100, x0=0.995) * lr * noise_lr
+    then noise <- (R diag(S^2) R^T) @ noise — i.e. only near-dead gaussians
+    (opacity < ~0.005) receive noise, transformed by the full covariance."""
     cap = alive.shape[0]
     opa = jax.nn.sigmoid(params["opacities"])
-    gate = jax.nn.sigmoid(-100.0 * (opa - 0.995))  # ~1 for low opacity
+    gate = jax.nn.sigmoid(100.0 * ((1.0 - opa) - 0.995))  # ~1 only for opa<0.005
     R = quat_to_rotmat(params["quats"])
-    noise = jax.random.normal(key, (cap, 3)) * jnp.exp(params["scales"])
-    noise_w = jnp.einsum("nij,nj->ni", R, noise)
-    noise_w = noise_w * (gate * lr_means * noise_lr)[:, None]
+    eps = jax.random.normal(key, (cap, 3)) * (gate * lr_means * noise_lr)[:, None]
+    # covariance transform: R diag(S^2) R^T @ eps
+    s2 = jnp.exp(2.0 * params["scales"])
+    tmp = jnp.einsum("nji,nj->ni", R, eps) * s2
+    noise_w = jnp.einsum("nij,nj->ni", R, tmp)
     out = dict(params)
     out["means"] = jnp.where(alive[:, None], params["means"] + noise_w,
                              params["means"])

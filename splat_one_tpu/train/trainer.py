@@ -275,7 +275,10 @@ class Trainer:
                     bil_grids[batch["image_id"]]
                 )
             if cfg.depth_loss and "depth" in batch:
-                dl = L.depth_loss(depth_r, alpha, batch["depth"])
+                dl = L.depth_loss(
+                    depth_r, alpha, batch["depth"],
+                    scene_scale=self.scene.scene_scale,
+                )
                 loss = loss + cfg.depth_lambda * dl
                 m["depthloss"] = dl
             loss = loss + L.regularizers(
@@ -604,41 +607,92 @@ class Trainer:
         flat["opt_count"] = np.asarray(self.state.opt_state.count)
         flat["alive"] = np.asarray(self.state.alive)
         flat["step"] = np.asarray(self.state.step)
+        flat["strat_grad2d"] = np.asarray(self.state.strat.grad2d)
+        flat["strat_count"] = np.asarray(self.state.strat.count)
         if self.state.pose_params is not None:
             flat["pose_params"] = np.asarray(self.state.pose_params)
+            add("pose_m", self.state.pose_opt_state.m)
+            add("pose_v", self.state.pose_opt_state.v)
+            flat["pose_count"] = np.asarray(self.state.pose_opt_state.count)
+        if self.state.bil_grids is not None:
+            flat["bil_grids"] = np.asarray(self.state.bil_grids)
+            add("bil_m", self.state.bil_opt_state.m)
+            add("bil_v", self.state.bil_opt_state.v)
+            flat["bil_count"] = np.asarray(self.state.bil_opt_state.count)
+        if self.state.app_params is not None:
+            add("app", self.state.app_params)
+            add("app_m", self.state.app_opt_state.m)
+            add("app_v", self.state.app_opt_state.v)
+            flat["app_count"] = np.asarray(self.state.app_opt_state.count)
         np.savez(path, **flat)
         return path
 
     def load_checkpoint(self, path: str):
         z = np.load(path)
-        params = {
-            k.split("['")[1].rstrip("']"): jnp.asarray(z[k])
-            for k in z.files
-            if k.startswith("params[")
-        }
-        m = {
-            k.split("['")[1].rstrip("']"): jnp.asarray(z[k])
-            for k in z.files
-            if k.startswith("opt_m[")
-        }
-        v = {
-            k.split("['")[1].rstrip("']"): jnp.asarray(z[k])
-            for k in z.files
-            if k.startswith("opt_v[")
-        }
+
+        def tree(prefix):
+            out = {
+                k.split("['")[1].rstrip("']"): jnp.asarray(z[k])
+                for k in z.files
+                if k.startswith(prefix + "[")
+            }
+            return out or None
+
+        def opt_tree(prefix):
+            m = tree(prefix + "_m")
+            if m is None:
+                return None
+            return opt.AdamState(
+                m=m, v=tree(prefix + "_v"),
+                count=jnp.asarray(z[prefix + "_count"]),
+            )
+
+        params = tree("params")
+        alive = jnp.asarray(z["alive"])
+        strat = (
+            S.StrategyState(
+                grad2d=jnp.asarray(z["strat_grad2d"]),
+                count=jnp.asarray(z["strat_count"]),
+            )
+            if "strat_grad2d" in z.files
+            else S.strategy_init(alive.shape[0])
+        )
         self.state = self.state._replace(
             params=params,
             opt_state=opt.AdamState(
-                m=m, v=v, count=jnp.asarray(z["opt_count"])
+                m=tree("opt_m"), v=tree("opt_v"),
+                count=jnp.asarray(z["opt_count"]),
             ),
-            alive=jnp.asarray(z["alive"]),
+            alive=alive,
+            strat=strat,
             step=jnp.asarray(z["step"]),
             pose_params=(
                 jnp.asarray(z["pose_params"])
                 if "pose_params" in z.files
                 else self.state.pose_params
             ),
+            pose_opt_state=opt_tree("pose") or self.state.pose_opt_state,
+            bil_grids=(
+                jnp.asarray(z["bil_grids"])
+                if "bil_grids" in z.files
+                else self.state.bil_grids
+            ),
+            bil_opt_state=opt_tree("bil") or self.state.bil_opt_state,
+            app_params=tree("app") or self.state.app_params,
+            app_opt_state=opt_tree("app") or self.state.app_opt_state,
         )
+        # the checkpoint's capacity may differ from the constructor's (e.g.
+        # it was saved after _grow_capacity): resize IsectCaps and rebuild
+        # the jitted steps so eval/traj renders don't silently truncate.
+        ckpt_capacity = int(alive.shape[0])
+        if ckpt_capacity != self.capacity:
+            self.capacity = ckpt_capacity
+            self.caps = IsectCaps.choose(
+                ckpt_capacity, self.cfg.batch_size,
+                _n_tiles(self.width, self.height, self.cfg.tile_size),
+                avg_tiles_per_gaussian=self.cfg.avg_tiles_per_gaussian,
+            )
+            self._build_steps()
 
     # ------------------------------------------------------------------
     def run(self):
