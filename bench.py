@@ -18,6 +18,7 @@ the axon tunnel are ~28 ms and would otherwise dominate.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -26,6 +27,8 @@ NOMINAL_GPU_MPIX_S = 30.0
 N_GAUSS = 1_000_000
 W, H = 1280, 720
 ITERS = 10
+# "stream" (supertile-stream rasterizer, default) or "tiled" (gen-1).
+IMPL = os.environ.get("SPLAT_BENCH_IMPL", "stream")
 
 
 def main():
@@ -48,10 +51,17 @@ def main():
     Ks = np.array(
         [[[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]]], np.float32
     )
-    caps = IsectCaps.choose(
-        N_GAUSS, 1, (-(-W // 16)) * (-(-H // 16)),
-        avg_tiles_per_gaussian=6.0,
-    )
+    if IMPL == "tiled":
+        caps = IsectCaps.choose(
+            N_GAUSS, 1, (-(-W // 16)) * (-(-H // 16)),
+            avg_tiles_per_gaussian=6.0,
+        )
+    else:
+        from splat_one_tpu.ops.stream_isect import StreamCaps, supertile_grid
+        _, _, s_w, s_h = supertile_grid(W, H, 16)
+        caps = StreamCaps.choose(
+            N_GAUSS, 1, s_w * s_h, avg_supertiles_per_gaussian=3.0,
+        )
     args = tuple(
         jnp.asarray(x)
         for x in (means, quats, scales, opac, sh, viewmats, Ks)
@@ -60,7 +70,7 @@ def main():
     def loss_fn(means, quats, scales, opac, sh, vm, Ks):
         render, alpha, info = rasterization(
             means, quats, scales, opac, sh, vm, Ks, W, H,
-            sh_degree=3, render_mode="RGB+ED", caps=caps,
+            sh_degree=3, render_mode="RGB+ED", caps=caps, impl=IMPL,
         )
         return jnp.sum(render) + jnp.sum(alpha), info["n_isect"]
 

@@ -1,0 +1,620 @@
+"""Pallas supertile-stream rasterizer: fwd + hand-written bwd compositing.
+
+Second-generation TPU rasterizer core (first: ``ops.tile_raster``) —
+replaces the gsplat CUDA ``rasterize_to_pixels`` fwd/bwd (reference surface:
+``gsplat.rendering.rasterization`` at
+utils/gsplat_utils/gsplat_trainer.py:477-494). Design:
+
+  - One grid program per (camera, 32x32px supertile). The program streams
+    its depth-sorted slot range (built by ``ops.stream_isect``) ONCE in
+    chunks of G=128, double-buffered from HBM. The packed stream lives in
+    the kernel-native [NF, rows] layout; chunk DMAs slice the lane axis at
+    128-aligned offsets (``base0 = floor(start/G)*G``) and leading/trailing
+    foreign slots are masked — so NO aligned relayout of the stream is ever
+    materialized, and per-supertile starts can be arbitrary.
+  - Each chunk is composited into the supertile's SSxSS=4 16px tiles. A
+    slot whose per-TILE bbox misses a tile is masked there (exact gsplat
+    tile-list semantics). This trades masked compute for moving ~2.2x fewer
+    rows through the rate-bound sort/gather glue — the right trade on TPU,
+    where gathers cost ~6.4 ns/row and VPU/MXU cycles are comparatively
+    free.
+  - Transmittance within a chunk: log-space strictly-lower-triangular
+    matmul on the MXU (the idiomatic replacement for CUDA's warp-serial
+    scan), per tile.
+  - Per-tile EARLY TERMINATION: a tile stops once every pixel's
+    transmittance is below ``term_thresh`` (the gsplat per-pixel T < 1e-4
+    cutoff); the program stops when all four tiles are done and records
+    each tile's processed-chunk count for the backward.
+  - The backward streams the same chunks in forward order with prefix
+    accumulators, sums the four tiles' per-slot gradients in VMEM, and
+    writes [NF, G] gradient chunks at G-aligned per-supertile offsets;
+    chunks it never reaches stay zero via input/output aliasing of a zero
+    buffer. Per-gaussian reduction is one gather + cumsum
+    (``stream_isect.reduce_stream_grads``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from splat_one_tpu.ops import stream_isect as si
+from splat_one_tpu.ops.reference import ALPHA_MAX, ALPHA_MIN
+from splat_one_tpu.ops.stream_isect import NF, SS, StreamCaps, StreamIsect
+
+OUT_CH = 8  # r, g, b, alpha, depth, n_chunks, pad, pad
+CH_NCHUNKS = 5
+NT = SS * SS  # tiles per supertile
+NBUF = 4
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamCfg:
+    """Static stream-rasterizer configuration (hashable kernel-cache key)."""
+
+    width: int
+    height: int
+    tile_size: int
+    num_cameras: int
+    num_gaussians: int
+    chunk: int
+    exp_cap: int
+    n_supertiles: int  # per camera (sw * sh)
+    wrap_x: bool = False
+    term_thresh: float = 1e-5
+
+    @property
+    def tw(self):
+        return -(-self.width // self.tile_size)
+
+    @property
+    def th(self):
+        return -(-self.height // self.tile_size)
+
+    @property
+    def sw(self):
+        return -(-self.tw // SS)
+
+    @property
+    def sh(self):
+        return -(-self.th // SS)
+
+    @property
+    def cs(self):
+        return self.num_cameras * self.sw * self.sh
+
+    @property
+    def npix(self):
+        return self.tile_size * self.tile_size
+
+    @property
+    def pad_cap(self):
+        # bwd rows per supertile: ceil((start % G + count) / G) * G, which
+        # can exceed count by up to 2G-1
+        return (
+            self.exp_cap
+            + 2 * self.num_cameras * self.n_supertiles * self.chunk
+        )
+
+    @property
+    def packed_rows(self):
+        return self.exp_cap + self.chunk
+
+    @staticmethod
+    def from_caps(caps: StreamCaps, width, height, tile_size, num_cameras,
+                  num_gaussians, wrap_x=False, term_thresh=1e-5):
+        return StreamCfg(
+            width=width, height=height, tile_size=tile_size,
+            num_cameras=num_cameras, num_gaussians=num_gaussians,
+            chunk=caps.chunk, exp_cap=caps.exp_cap,
+            n_supertiles=caps.n_supertiles // num_cameras,
+            wrap_x=wrap_x, term_thresh=term_thresh,
+        )
+
+
+def _tile_pixel_coords(cfg: StreamCfg, s_global, j: int):
+    """Pixel centers (and tile coords) of local tile j of supertile s."""
+    ts = cfg.tile_size
+    ns = cfg.sw * cfg.sh
+    st = s_global % ns
+    sy = st // cfg.sw
+    sx = st % cfg.sw
+    ty = sy * SS + (j // SS)
+    tx = sx * SS + (j % SS)
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.npix), 1)
+    px = (tx * ts + local % ts).astype(jnp.float32) + 0.5
+    py = (ty * ts + local // ts).astype(jnp.float32) + 0.5
+    return px, py, tx, ty
+
+
+def _tri_matrices(G):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (rows > cols).astype(jnp.float32), (rows >= cols).astype(
+        jnp.float32
+    )
+
+
+def _mm(a, b, dims):
+    # HIGHEST = full-f32 multi-pass MXU: the default single-pass bf16
+    # rounding (~0.4% rel) is visible in rgb/depth (measured 4e-3 abs at
+    # 720p) — too coarse for gsplat parity. (Mosaic supports only
+    # DEFAULT/HIGHEST.)
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _chunk_q(cfg: StreamCfg, chunk, px, py, tx, ty, rowmask):
+    """Per-(slot, pixel) forward quantities for one chunk against one tile.
+
+    ``chunk`` is [NF, G]; ``rowmask`` [G, 1] kills slots outside the
+    supertile's stream range (128-aligned chunk bases over-read neighbors).
+    Slots whose per-TILE bbox (3-sigma radius, identical float math to the
+    per-tile-list builder) misses this tile are killed too — exact parity
+    with the gsplat tile-list semantics, where a gaussian outside a tile's
+    list contributes nothing even if its alpha there is >= 1/255."""
+    G = cfg.chunk
+    ts = float(cfg.tile_size)
+    x = chunk[si.COL_X, :].reshape(G, 1)
+    y = chunk[si.COL_Y, :].reshape(G, 1)
+    ca = chunk[si.COL_CA, :].reshape(G, 1)
+    cb = chunk[si.COL_CB, :].reshape(G, 1)
+    cc = chunk[si.COL_CC, :].reshape(G, 1)
+    op = chunk[si.COL_OPAC, :].reshape(G, 1)
+    rad = chunk[si.COL_RADIUS, :].reshape(G, 1)
+    txf = tx.astype(jnp.float32) if hasattr(tx, "astype") else float(tx)
+    tyf = ty.astype(jnp.float32) if hasattr(ty, "astype") else float(ty)
+    in_y = (tyf >= jnp.floor((y - rad) / ts)) & (
+        tyf < jnp.ceil((y + rad) / ts)
+    )
+    if cfg.wrap_x:
+        tw = float(cfg.tw)
+        tx0 = jnp.floor((x - rad) / ts)
+        span = jnp.minimum(jnp.ceil((x + rad) / ts) - tx0, tw)
+        in_x = jnp.mod(txf - tx0, tw) < span
+    else:
+        in_x = (txf >= jnp.floor((x - rad) / ts)) & (
+            txf < jnp.ceil((x + rad) / ts)
+        )
+    dx = x - px
+    if cfg.wrap_x:
+        dx = dx - cfg.width * jnp.round(dx * (1.0 / cfg.width))
+    dy = y - py
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    expneg = jnp.exp(-sigma)
+    alpha_raw = op * expneg
+    killed = (sigma < 0.0) | (alpha_raw < ALPHA_MIN) | jnp.logical_not(
+        rowmask & in_x & in_y
+    )
+    clamped = alpha_raw > ALPHA_MAX
+    alpha = jnp.where(killed, 0.0, jnp.minimum(alpha_raw, ALPHA_MAX))
+    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, expneg=expneg,
+                alpha=alpha, killed=killed, clamped=clamped)
+
+
+def _row_iota(G):
+    return jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+
+
+def _stream_fwd_kernel(cfg: StreamCfg, starts_ref, off_ref, packed_ref,
+                       out_ref, buf, sems, Tst, accst, nch_s):
+    G, P = cfg.chunk, cfg.npix
+    t = pl.program_id(0)
+    s0 = starts_ref[t]
+    s1 = starts_ref[t + 1]
+    base0 = pl.multiple_of((s0 // G) * G, G)
+    nchunks = pl.cdiv(s1 - base0, G)
+    tri_strict, _ = _tri_matrices(G)
+    pxy = [_tile_pixel_coords(cfg, t + off_ref[0], j) for j in range(NT)]
+
+    # reset persistent scratch (it survives across grid programs)
+    for j in range(NT):
+        Tst[j] = jnp.ones((1, P), jnp.float32)
+        accst[j] = jnp.zeros((8, P), jnp.float32)
+        nch_s[j] = 0
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(pl.multiple_of(base0 + k * G, G), G)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    for w in range(NBUF - 1):
+        @pl.when(w < nchunks)
+        def _(w=w):
+            get_dma(w, w).start()
+
+    def body(carry):
+        k, _ = carry
+
+        @pl.when(k + NBUF - 1 < nchunks)
+        def _():
+            get_dma((k + NBUF - 1) % NBUF, k + NBUF - 1).start()
+
+        get_dma(k % NBUF, k).wait()
+        chunk = buf[k % NBUF]  # [NF, G]
+        gidx = base0 + k * G + _row_iota(G)
+        rowmask = (gidx >= s0) & (gidx < s1)
+
+        for j in range(NT):
+            alive = (jnp.max(Tst[j]) >= cfg.term_thresh) | (
+                cfg.term_thresh <= 0.0
+            )
+
+            @pl.when(alive)
+            def _(j=j):
+                px, py, tx, ty = pxy[j]
+                q = _chunk_q(cfg, chunk, px, py, tx, ty, rowmask)
+                alpha = q["alpha"]
+                logt = jnp.log1p(-alpha)
+                cum_excl = _mm(tri_strict, logt, (((1,), (0,))))
+                T_row = Tst[j]
+                w_ = alpha * jnp.exp(cum_excl) * T_row  # [G, P]
+                cols = chunk[si.COL_R:si.COL_R + 8, :]  # [8, G]
+                accst[j] = accst[j] + _mm(cols, w_, (((1,), (0,))))
+                Tst[j] = T_row * jnp.exp(
+                    jnp.sum(logt, axis=0, keepdims=True)
+                )
+                nch_s[j] = k + 1
+
+        alive_any = (cfg.term_thresh <= 0.0)
+        for j in range(NT):
+            alive_any |= jnp.max(Tst[j]) >= cfg.term_thresh
+        return k + 1, alive_any
+
+    def cond(carry):
+        k, alive_any = carry
+        return (k < nchunks) & alive_any
+
+    k_end, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(True))
+    )
+    # Drain DMAs started by warm-up/prefetch but never waited on — an early
+    # exit must not leak in-flight copies into the next program.
+    started = jnp.minimum(k_end + NBUF - 1, nchunks)
+
+    def drain(k, c):
+        get_dma(k % NBUF, k).wait()
+        return c
+
+    jax.lax.fori_loop(k_end, started, drain, 0)
+
+    for j in range(NT):
+        acc = accst[j]
+        out_ref[0, j, 0:3, :] = acc[0:3, :]
+        out_ref[0, j, 3:4, :] = 1.0 - Tst[j]
+        out_ref[0, j, 4:5, :] = acc[3:4, :]
+        out_ref[0, j, 5:6, :] = jnp.zeros((1, P), jnp.float32) + (
+            nch_s[j].astype(jnp.float32)
+        )
+        out_ref[0, j, 6:8, :] = jnp.zeros((2, P), jnp.float32)
+
+
+def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
+                       packed_ref, fwd_ref, gout_ref, pginit_ref, pgrad_ref,
+                       buf, wbuf, sems, wsems, Tst, gPst, cgst):
+    del pginit_ref  # aliased zero buffer; never read
+    G, P = cfg.chunk, cfg.npix
+    t = pl.program_id(0)
+    s0 = starts_ref[t]
+    s1 = starts_ref[t + 1]
+    base0 = pl.multiple_of((s0 // G) * G, G)
+    a0 = pl.multiple_of(al_ref[t], G)
+    nchunks = pl.cdiv(s1 - base0, G)
+    tri_strict, tri_incl = _tri_matrices(G)
+    pxy = [_tile_pixel_coords(cfg, t + off_ref[0], j) for j in range(NT)]
+
+    # per-tile constants from forward outputs
+    nch = []
+    consts = []
+    for j in range(NT):
+        out4 = jnp.concatenate(
+            [fwd_ref[0, j, 0:3, :], fwd_ref[0, j, 4:5, :]], axis=0
+        )
+        T_final = 1.0 - fwd_ref[0, j, 3:4, :]
+        g4 = jnp.concatenate(
+            [gout_ref[0, j, 0:3, :], gout_ref[0, j, 4:5, :]], axis=0
+        )
+        gA = gout_ref[0, j, 3:4, :]
+        godot = jnp.sum(g4 * out4, axis=0, keepdims=True)
+        consts.append((g4, gA, godot, T_final))
+        nch.append(fwd_ref[0, j, CH_NCHUNKS, 0].astype(jnp.int32))
+        Tst[j] = jnp.ones((1, P), jnp.float32)
+        gPst[j] = jnp.zeros((1, P), jnp.float32)
+    nch_max = functools.reduce(jnp.maximum, nch)
+    nchunks = jnp.minimum(nchunks, nch_max)
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(pl.multiple_of(base0 + k * G, G), G)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    def put_dma(slot, k):
+        return pltpu.make_async_copy(
+            wbuf.at[slot],
+            pgrad_ref.at[:, pl.ds(pl.multiple_of(a0 + k * G, G), G)],
+            wsems.at[slot],
+        )
+
+    for w in range(NBUF - 1):
+        @pl.when(w < nchunks)
+        def _(w=w):
+            get_dma(w, w).start()
+
+    def body(k, _):
+        slot = k % NBUF
+
+        @pl.when(k + NBUF - 1 < nchunks)
+        def _():
+            get_dma((k + NBUF - 1) % NBUF, k + NBUF - 1).start()
+
+        get_dma(slot, k).wait()
+
+        @pl.when(k >= NBUF)
+        def _():
+            put_dma(slot, k - NBUF).wait()
+
+        chunk = buf[slot]  # [NF, G]
+        gidx = base0 + k * G + _row_iota(G)
+        rowmask = (gidx >= s0) & (gidx < s1)
+        cols4 = chunk[si.COL_R:si.COL_R + 4, :]  # [4, G]
+
+        cgst[0] = jnp.zeros((NF, G), jnp.float32)
+        for j in range(NT):
+            g4, gA, godot, T_final = consts[j]
+            px, py, tx, ty = pxy[j]
+
+            @pl.when(k < nch[j])
+            def _(j=j, g4=g4, gA=gA, godot=godot,
+                  T_final=T_final, px=px, py=py, tx=tx, ty=ty):
+                q = _chunk_q(cfg, chunk, px, py, tx, ty, rowmask)
+                alpha, expneg = q["alpha"], q["expneg"]
+                dx, dy = q["dx"], q["dy"]
+                logt = jnp.log1p(-alpha)
+                cum_excl = _mm(tri_strict, logt, (((1,), (0,))))
+                T_i = jnp.exp(cum_excl) * Tst[j]
+                w_ = alpha * T_i
+                one_m = 1.0 - alpha
+                cg = _mm(cols4, g4, (((0,), (0,))))  # [G, P]
+                wcg = w_ * cg
+                prefix_incl = _mm(tri_incl, wcg, (((1,), (0,))))
+                dalpha = (
+                    T_i * cg
+                    - (godot - gPst[j] - prefix_incl) / one_m
+                    + gA * T_final / one_m
+                )
+                live = jnp.logical_not(q["killed"] | q["clamped"])
+                dsigma = jnp.where(live, -dalpha * alpha, 0.0)
+                dopac_pp = jnp.where(live, dalpha * expneg, 0.0)
+                ddx_pp = dsigma * (q["ca"] * dx + q["cb"] * dy)
+                ddy_pp = dsigma * (q["cc"] * dy + q["cb"] * dx)
+                dcols4 = _mm(g4, w_, (((1,), (1,))))  # [4, G]
+                grad_rows = jnp.concatenate(
+                    [
+                        jnp.sum(ddx_pp, axis=1).reshape(1, G),
+                        jnp.sum(ddy_pp, axis=1).reshape(1, G),
+                        jnp.sum(dsigma * 0.5 * dx * dx, axis=1).reshape(
+                            1, G),
+                        jnp.sum(dsigma * dx * dy, axis=1).reshape(1, G),
+                        jnp.sum(dsigma * 0.5 * dy * dy, axis=1).reshape(
+                            1, G),
+                        jnp.sum(dopac_pp, axis=1).reshape(1, G),
+                        dcols4,
+                        jnp.sum(jnp.abs(ddx_pp), axis=1).reshape(1, G),
+                        jnp.sum(jnp.abs(ddy_pp), axis=1).reshape(1, G),
+                        jnp.zeros((NF - 12, G), jnp.float32),
+                    ],
+                    axis=0,
+                )  # [NF, G]
+                Tst[j] = Tst[j] * jnp.exp(
+                    jnp.sum(logt, axis=0, keepdims=True)
+                )
+                gPst[j] = gPst[j] + jnp.sum(wcg, axis=0, keepdims=True)
+                cgst[0] = cgst[0] + grad_rows
+        wbuf[slot] = cgst[0]
+        put_dma(slot, k).start()
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    for tail in range(1, NBUF + 1):
+        @pl.when(nchunks >= tail)
+        def _(tail=tail):
+            put_dma((nchunks - tail) % NBUF, nchunks - tail).wait()
+
+
+def _fwd_call(cfg: StreamCfg, st_starts, packed, tile_offset=None):
+    G, P = cfg.chunk, cfg.npix
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    kernel = functools.partial(_stream_fwd_kernel, cfg)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(cfg.cs,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (1, NT, OUT_CH, P), lambda t, s, o: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, NF, G), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.VMEM((NT, 1, P), jnp.float32),
+                pltpu.VMEM((NT, 8, P), jnp.float32),
+                pltpu.SMEM((NT,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((cfg.cs, NT, OUT_CH, P), jnp.float32),
+        interpret=_use_interpret(),
+    )(st_starts, tile_offset, packed)
+
+
+def _bwd_call(cfg: StreamCfg, st_starts, st_starts_al, packed, fwd_out,
+              gout, tile_offset=None):
+    G, P = cfg.chunk, cfg.npix
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    kernel = functools.partial(_stream_bwd_kernel, cfg)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cfg.cs,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # packed
+                pl.BlockSpec((1, NT, OUT_CH, P),
+                             lambda t, s, a, o: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),  # fwd_out
+                pl.BlockSpec((1, NT, OUT_CH, P),
+                             lambda t, s, a, o: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),  # gout
+                pl.BlockSpec(memory_space=pltpu.HBM),  # pgrad zero-init
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, NF, G), jnp.float32),
+                pltpu.VMEM((NBUF, NF, G), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.VMEM((NT, 1, P), jnp.float32),
+                pltpu.VMEM((NT, 1, P), jnp.float32),
+                pltpu.VMEM((1, NF, G), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NF, cfg.pad_cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # flattened input 6 = zero buffer -> output 0 (skipped chunks and
+        # alignment padding stay zero for the reduction)
+        input_output_aliases={6: 0},
+        interpret=_use_interpret(),
+    )(st_starts, st_starts_al, tile_offset, packed, fwd_out, gout,
+      jnp.zeros((NF, cfg.pad_cap), jnp.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_composite_fn(cfg: StreamCfg):
+    """Custom-VJP supertile compositor for a static config.
+
+    Signature: (means2d, conics, colors, opacities, depths, radii,
+    abs_dummy, tile_offset, *isect_arrays) -> out [CS, NT, OUT_CH, P]."""
+    C, N = cfg.num_cameras, cfg.num_gaussians
+    M0 = C * N
+    caps = StreamCaps(exp_cap=cfg.exp_cap,
+                      n_supertiles=cfg.num_cameras * cfg.n_supertiles,
+                      chunk=cfg.chunk)
+
+    def build_packed(means2d, conics, colors, opacities, depths, radii,
+                     isect):
+        cols = jnp.concatenate(
+            [
+                means2d.reshape(M0, 2),
+                conics.reshape(M0, 3),
+                opacities.reshape(M0, 1),
+                colors.reshape(M0, 3),
+                depths.reshape(M0, 1),
+                radii.reshape(M0, 1),
+            ],
+            axis=1,
+        )
+        fields = jnp.pad(cols, ((0, 0), (0, NF - cols.shape[1])))
+        # row gather, then transpose into the kernel-native [NF, rows]
+        # layout (chunk DMAs slice the lane axis at G-aligned offsets)
+        return si.pack_stream(fields, isect, caps).T
+
+    def fwd_impl(means2d, conics, colors, opacities, depths, radii,
+                 abs_dummy, tile_offset, *isect_arrays):
+        isect = StreamIsect(*isect_arrays)
+        packed = build_packed(means2d, conics, colors, opacities, depths,
+                              radii, isect)
+        out = _fwd_call(cfg, isect.st_starts, packed, tile_offset)
+        return out, packed
+
+    @jax.custom_vjp
+    def composite(means2d, conics, colors, opacities, depths, radii,
+                  abs_dummy, tile_offset, *isect_arrays):
+        out, _ = fwd_impl(means2d, conics, colors, opacities, depths, radii,
+                          abs_dummy, tile_offset, *isect_arrays)
+        return out
+
+    def composite_fwd(means2d, conics, colors, opacities, depths, radii,
+                      abs_dummy, tile_offset, *isect_arrays):
+        out, packed = fwd_impl(means2d, conics, colors, opacities, depths,
+                               radii, abs_dummy, tile_offset, *isect_arrays)
+        return out, (packed, tile_offset, isect_arrays, out)
+
+    def composite_bwd(res, gout):
+        packed, tile_offset, isect_arrays, fwd_out = res
+        isect = StreamIsect(*isect_arrays)
+        pgrads = _bwd_call(cfg, isect.st_starts, isect.st_starts_al, packed,
+                           fwd_out, gout, tile_offset)
+        seg = si.reduce_stream_grads(pgrads.T, isect, M0)  # [M0, NF]
+        g = lambda c: seg[:, c]
+        dmeans2d = jnp.stack([g(si.GCOL_DX), g(si.GCOL_DY)],
+                             axis=-1).reshape(C, N, 2)
+        dconics = jnp.stack(
+            [g(si.GCOL_DCA), g(si.GCOL_DCB), g(si.GCOL_DCC)], axis=-1
+        ).reshape(C, N, 3)
+        dcolors = jnp.stack(
+            [g(si.GCOL_DR), g(si.GCOL_DG), g(si.GCOL_DB)], axis=-1
+        ).reshape(C, N, 3)
+        dopac = g(si.GCOL_DOPAC).reshape(C, N)
+        ddepth = g(si.GCOL_DDEPTH).reshape(C, N)
+        dabs = jnp.stack([g(si.GCOL_ABSDX), g(si.GCOL_ABSDY)],
+                         axis=-1).reshape(C, N, 2)
+        nones = (None,) * len(isect_arrays)
+        return (dmeans2d, dconics, dcolors, dopac, ddepth, None, dabs,
+                None) + nones
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+def composite_stream(
+    cfg: StreamCfg,
+    means2d: jax.Array,  # [C, N, 2]
+    conics: jax.Array,  # [C, N, 3]
+    colors: jax.Array,  # [C, N, 3]
+    opacities: jax.Array,  # [C, N]
+    depths: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N] (non-differentiable tile-bbox metadata)
+    isect: StreamIsect,
+    abs_dummy: jax.Array | None = None,
+    tile_offset: jax.Array | None = None,
+):
+    """Differentiable supertile compositing -> [CS, NT, OUT_CH, P]."""
+    if abs_dummy is None:
+        abs_dummy = jnp.zeros_like(means2d)
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    fn = _make_composite_fn(cfg)
+    return fn(means2d, conics, colors, opacities, depths,
+              jax.lax.stop_gradient(radii), abs_dummy, tile_offset, *isect)
+
+
+def stream_to_image(cfg: StreamCfg, out: jax.Array):
+    """[CS, NT, OUT_CH, P] -> (rgb [C,H,W,3], alpha, depth [C,H,W,1])."""
+    C, ts = cfg.num_cameras, cfg.tile_size
+    sh, sw = cfg.sh, cfg.sw
+    x = out.reshape(C, sh, sw, SS, SS, OUT_CH, ts, ts)
+    x = x.transpose(0, 5, 1, 3, 6, 2, 4, 7).reshape(
+        C, OUT_CH, sh * SS * ts, sw * SS * ts
+    )
+    x = x[:, :, : cfg.height, : cfg.width]
+    rgb = x[:, 0:3].transpose(0, 2, 3, 1)
+    alpha = x[:, 3:4].transpose(0, 2, 3, 1)
+    depth = x[:, 4:5].transpose(0, 2, 3, 1)
+    return rgb, alpha, depth

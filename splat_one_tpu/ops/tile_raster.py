@@ -45,7 +45,8 @@ from splat_one_tpu.ops.intersect import NF, IsectData
 from splat_one_tpu.ops.reference import ALPHA_MAX, ALPHA_MIN
 
 # Output-channel rows in the per-tile [OUT_CH, P] block.
-OUT_CH = 8  # r, g, b, alpha, depth, pad, pad, pad
+OUT_CH = 8  # r, g, b, alpha, depth, n_chunks, pad, pad
+CH_NCHUNKS = 5  # forward records its early-termination chunk count here
 
 
 def _use_interpret() -> bool:
@@ -64,6 +65,13 @@ class RasterCfg:
     chunk: int  # G
     align_cap: int
     wrap_x: bool = False  # spherical/equirect azimuth seam wrapping
+    # Early termination: stop compositing a tile once EVERY pixel's
+    # transmittance is below this (the per-pixel T < 1e-4 cutoff of the
+    # gsplat CUDA rasterizer; tail contributions are bounded by it).
+    # The backward then only walks the chunks the forward processed.
+    # 1e-5 keeps truncation an order of magnitude inside the 1e-4 oracle
+    # parity tolerance at <~1 extra chunk of work vs gsplat's 1e-4.
+    term_thresh: float = 1e-5
 
     @property
     def tw(self):
@@ -129,7 +137,10 @@ def _chunk_alpha(chunk, px, py, G, P, wrap_width: int = 0):
 
 
 def _mm(a, b, dims):
+    # HIGHEST = full-f32 multi-pass MXU; default bf16 rounding is visible
+    # in rgb/depth. See ops/stream_raster.py.
     return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
 
 
@@ -157,8 +168,8 @@ def _fwd_kernel(cfg: RasterCfg, starts_ref, off_ref, packed_ref, out_ref,
         def _(w=w):
             get_dma(w, w).start()
 
-    def body(k, carry):
-        T_row, acc = carry
+    def body(carry):
+        k, T_row, acc = carry
         slot = k % NBUF
 
         @pl.when(k + NBUF - 1 < nchunks)
@@ -176,26 +187,48 @@ def _fwd_kernel(cfg: RasterCfg, starts_ref, off_ref, packed_ref, out_ref,
         cols = chunk[isect_mod.ROW_R:isect_mod.ROW_R + 8, :]  # [8, G]
         acc = acc + _mm(cols, w, (((1,), (0,))))
         T_row = T_row * jnp.exp(jnp.sum(logt, axis=0, keepdims=True))
-        return T_row, acc
+        return k + 1, T_row, acc
 
-    T_row, acc = jax.lax.fori_loop(
-        0,
-        nchunks,
+    def cond(carry):
+        k, T_row, _ = carry
+        live = jnp.max(T_row) >= cfg.term_thresh
+        return (k < nchunks) & (live | (cfg.term_thresh <= 0.0))
+
+    k_end, T_row, acc = jax.lax.while_loop(
+        cond,
         body,
-        (jnp.ones((1, P), jnp.float32), jnp.zeros((8, P), jnp.float32)),
+        (jnp.int32(0), jnp.ones((1, P), jnp.float32),
+         jnp.zeros((8, P), jnp.float32)),
     )
+    # Drain DMAs that were started (by warm-up/prefetch) but never waited on
+    # — an early exit must not leak in-flight copies into the next program.
+    started = jnp.minimum(k_end + NBUF - 1, nchunks)
+
+    def drain(k, c):
+        get_dma(k % NBUF, k).wait()
+        return c
+
+    jax.lax.fori_loop(k_end, started, drain, 0)
     out_ref[0, 0:3, :] = acc[0:3, :]  # rgb
     out_ref[0, 3:4, :] = 1.0 - T_row  # alpha
     out_ref[0, 4:5, :] = acc[3:4, :]  # accumulated depth (row 3 of cols block)
-    out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
+    out_ref[0, 5:6, :] = jnp.full((1, P), 1.0, jnp.float32) * k_end.astype(
+        jnp.float32
+    )  # chunks processed (CH_NCHUNKS); backward stops here
+    out_ref[0, 6:8, :] = jnp.zeros((2, P), jnp.float32)
 
 
 def _bwd_kernel(cfg: RasterCfg, starts_ref, off_ref, packed_ref, fwd_ref,
-                gout_ref, pgrad_ref, buf, wbuf, sems, wsems):
+                gout_ref, pginit_ref, pgrad_ref, buf, wbuf, sems, wsems):
+    del pginit_ref  # zero buffer aliased into pgrad_ref; never read directly
     G, P = cfg.chunk, cfg.npix
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], G)
     nchunks = (starts_ref[t + 1] - start) // G
+    # Forward recorded how many chunks it processed before saturating; only
+    # those can carry gradient (the pgrad buffer is zero-initialized by the
+    # caller via input/output aliasing, so skipped chunks contribute zeros).
+    nchunks = jnp.minimum(nchunks, fwd_ref[0, CH_NCHUNKS, 0].astype(jnp.int32))
     px, py = _tile_pixel_coords(cfg, t + off_ref[0])
     tri_strict, tri_incl = _tri_matrices(G)
 
@@ -313,6 +346,10 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, off_ref, packed_ref, fwd_ref,
             put_dma((nchunks - tail) % 4, nchunks - tail).wait()
 
 
+def _zeros_like_pgrads(cfg: RasterCfg):
+    return jnp.zeros((NF, cfg.align_cap), jnp.float32)
+
+
 def _fwd_call(cfg: RasterCfg, starts, packed, tile_offset=None):
     G, P = cfg.chunk, cfg.npix
     grid = (cfg.ct,)
@@ -357,6 +394,7 @@ def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout,
                              memory_space=pltpu.VMEM),  # fwd_out
                 pl.BlockSpec((1, OUT_CH, P), lambda t, s, o: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # gout
+                pl.BlockSpec(memory_space=pl.ANY),  # pgrad zero-init
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -368,8 +406,12 @@ def _bwd_call(cfg: RasterCfg, starts, packed, fwd_out, gout,
         ),
         out_shape=jax.ShapeDtypeStruct((NF, cfg.align_cap), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # flattened input 5 = the zero buffer -> output 0 (early-terminated
+        # chunks never get written; aliasing keeps them zero for the
+        # per-gaussian reduction)
+        input_output_aliases={5: 0},
         interpret=_use_interpret(),
-    )(starts, tile_offset, packed, fwd_out, gout)
+    )(starts, tile_offset, packed, fwd_out, gout, _zeros_like_pgrads(cfg))
 
 
 @functools.lru_cache(maxsize=32)

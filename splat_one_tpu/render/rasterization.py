@@ -16,21 +16,32 @@ gsplat's ``info["means2d"].grad`` / ``.absgrad`` consumed by the strategies
 (gsplat_trainer.py:616-622, 744-761).
 
 Pipeline: differentiable EWA projection (ops.projection, plain JAX autodiff)
--> stop-gradient intersection layout (ops.intersect) -> custom-VJP Pallas tile
-compositing (ops.tile_raster) -> tile-to-image assembly (pure reshapes).
+-> stop-gradient intersection layout -> custom-VJP Pallas compositing ->
+image assembly (pure reshapes). Two compositing backends exist:
+
+  - ``impl="stream"`` (default): supertile-stream rasterizer
+    (ops.stream_isect + ops.stream_raster) — one (supertile, depth) sort,
+    ~2.2x fewer rows through the rate-bound gather/sort glue, per-tile
+    early termination.
+  - ``impl="tiled"``: first-generation per-tile-list rasterizer
+    (ops.intersect + ops.tile_raster), kept as a cross-check oracle and
+    for the tile-sharded multi-chip path until it migrates.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 
 from splat_one_tpu.ops import intersect as isect_mod
-from splat_one_tpu.ops import tile_raster
+from splat_one_tpu.ops import stream_isect as si_mod
+from splat_one_tpu.ops import stream_raster, tile_raster
 from splat_one_tpu.ops.intersect import IsectCaps
 from splat_one_tpu.ops.projection import project_gaussians
+from splat_one_tpu.ops.stream_isect import StreamCaps
+from splat_one_tpu.ops.stream_raster import StreamCfg
 from splat_one_tpu.ops.tile_raster import RasterCfg
 
 
@@ -54,10 +65,11 @@ def rasterization(
     render_mode: str = "RGB",
     rasterize_mode: str = "classic",
     backgrounds: Optional[jax.Array] = None,  # [C, 3]
-    caps: Optional[IsectCaps] = None,
+    caps: Optional[Union[IsectCaps, StreamCaps]] = None,
     alive: Optional[jax.Array] = None,  # [N] bool (fixed-capacity buffers)
     means2d_dummy: Optional[jax.Array] = None,  # [C, N, 2] grad hook
     absgrad_dummy: Optional[jax.Array] = None,  # [C, N, 2] absgrad hook
+    impl: Optional[str] = None,  # "stream" | "tiled"; inferred from caps
 ):
     """Render gaussians into C cameras. Fully differentiable.
 
@@ -86,30 +98,46 @@ def rasterization(
         # JAX analog of gsplat's retained means2d.grad for densification.
         means2d = means2d + means2d_dummy
 
-    cfg = RasterCfg(
-        width=width, height=height, tile_size=tile_size,
-        num_cameras=C, num_gaussians=N,
-        chunk=(caps.chunk if caps else 128),
-        align_cap=0,  # filled below
-    )
-    if caps is None:
-        caps = IsectCaps.choose(N, C, cfg.tw * cfg.th, chunk=cfg.chunk)
-    cfg = RasterCfg(
-        width=width, height=height, tile_size=tile_size,
-        num_cameras=C, num_gaussians=N, chunk=caps.chunk,
-        align_cap=caps.align_cap, wrap_x=(camera_model == "spherical"),
-    )
-
+    if impl is None:
+        impl = "tiled" if isinstance(caps, IsectCaps) else "stream"
     proj_sg = jax.lax.stop_gradient(proj)
-    isect = isect_mod.build_intersections(
-        proj_sg, width, height, tile_size, caps, camera_model=camera_model
-    )
 
-    tile_out = tile_raster.composite_tiles(
-        cfg, means2d, proj.conics, proj.colors, proj.opacities, proj.depths,
-        isect, abs_dummy=absgrad_dummy,
-    )
-    rgb, alpha, depth = tile_raster.tiles_to_image(cfg, tile_out)
+    if impl == "stream":
+        _, _, sw, sh = si_mod.supertile_grid(width, height, tile_size)
+        if not isinstance(caps, StreamCaps):
+            caps = StreamCaps.choose(N, C, C * sw * sh)
+        cfg = StreamCfg.from_caps(
+            caps, width, height, tile_size, C, N,
+            wrap_x=(camera_model == "spherical"),
+        )
+        isect = si_mod.build_stream_intersections(
+            proj_sg, width, height, tile_size, caps,
+            camera_model=camera_model,
+        )
+        out = stream_raster.composite_stream(
+            cfg, means2d, proj.conics, proj.colors, proj.opacities,
+            proj.depths, proj_sg.radii, isect, abs_dummy=absgrad_dummy,
+        )
+        rgb, alpha, depth = stream_raster.stream_to_image(cfg, out)
+    else:
+        if not isinstance(caps, IsectCaps):
+            tw = -(-width // tile_size)
+            th = -(-height // tile_size)
+            caps = IsectCaps.choose(N, C, tw * th)
+        cfg = RasterCfg(
+            width=width, height=height, tile_size=tile_size,
+            num_cameras=C, num_gaussians=N, chunk=caps.chunk,
+            align_cap=caps.align_cap, wrap_x=(camera_model == "spherical"),
+        )
+        isect = isect_mod.build_intersections(
+            proj_sg, width, height, tile_size, caps,
+            camera_model=camera_model,
+        )
+        tile_out = tile_raster.composite_tiles(
+            cfg, means2d, proj.conics, proj.colors, proj.opacities,
+            proj.depths, isect, abs_dummy=absgrad_dummy,
+        )
+        rgb, alpha, depth = tile_raster.tiles_to_image(cfg, tile_out)
 
     if backgrounds is not None:
         rgb = rgb + (1.0 - alpha) * backgrounds[:, None, None, :]
