@@ -57,6 +57,7 @@ COL_G = 7
 COL_B = 8
 COL_DEPTH = 9
 COL_RADIUS = 10  # 3-sigma screen radius: exact per-TILE bbox membership
+COL_GID = 11  # flat [C*N) gaussian id (exact f32; the reduce-by-key key)
 NF = 16  # padded power-of-two width
 
 # Backward gradient column layout (same [*, NF] shape).
@@ -72,6 +73,8 @@ GCOL_DB = 8
 GCOL_DDEPTH = 9
 GCOL_ABSDX = 10
 GCOL_ABSDY = 11
+GCOL_KEY = 12  # written by the bwd kernel: gid + 1 (f32), 0 = dead row
+N_GCOLS = 12  # payload rows fed through the reduce-by-key sort
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,16 +117,15 @@ class StreamIsect(NamedTuple):
     ``sorted_g[p]``: original flat ``[C * N]`` gaussian index of stream slot
     p (sentinel ``C * N`` for dropped/padding slots). ``st_starts``: raw slot
     range per (camera, supertile), length ``C*NS + 1``. ``st_starts_al``:
-    G-aligned start of each supertile's rows in the backward gradient buffer.
-    ``red_perm[q]``: pgrad-buffer row index of the q-th slot in by-gaussian
-    order; ``red_bounds[j]``: start of gaussian j's run in that order.
+    G-aligned start of each supertile's rows in the backward gradient
+    buffer. Per-gaussian gradient reduction needs no precomputed layout:
+    the backward kernel emits a gid key row and ``reduce_stream_grads``
+    sorts by it (see ops.seg_reduce).
     """
 
     sorted_g: jax.Array  # [exp_cap] int32
     st_starts: jax.Array  # [C*NS + 1] int32
     st_starts_al: jax.Array  # [C*NS + 1] int32
-    red_perm: jax.Array  # [exp_cap] int32
-    red_bounds: jax.Array  # [M0 + 1] int32
     n_isect: jax.Array  # [] int32
     n_slots: jax.Array  # [] int32 (== clamped n_isect)
     overflow: jax.Array  # [] bool
@@ -161,6 +163,7 @@ def build_fields(proj: Projected) -> jax.Array:
             proj.colors.reshape(M0, 3),
             proj.depths.reshape(M0, 1),
             proj.radii.reshape(M0, 1),
+            jnp.arange(M0, dtype=jnp.float32).reshape(M0, 1),  # COL_GID
         ],
         axis=1,
     )
@@ -293,36 +296,11 @@ def build_stream_intersections(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_al)]
     )
 
-    # 6. backward-reduction layout.
-    # grad row of raw slot p in supertile t: a0_t + (p - base0_t), i.e.
-    # p + delta_t with delta_t = st_starts_al[t] - base0_t. delta is
-    # non-decreasing (ceil-aligned counts >= floor-aligned base diffs), so
-    # scatter it at each supertile's raw start and forward-fill with cummax.
-    delta = st_starts_al[:-1] - (st_starts[:-1] - lead)  # [CS]
-    fill = jnp.zeros((EXP,), jnp.int32).at[
-        jnp.clip(st_starts[:-1], 0, EXP - 1)
-    ].max(delta)
-    aligned_pos = slot_ids + jax.lax.cummax(fill)
-    # by-gaussian order: dropped slots carry sentinel key M0 -> sort to end.
-    key_g = jnp.where(slot_ok, sorted_g, M0)
-    _, red_perm = jax.lax.sort(
-        [key_g, aligned_pos], is_stable=True, num_keys=1
-    )
-    # run bounds: kept-slot count per gaussian via the expansion-order
-    # cumsum of slot_ok evaluated at the offsets (original order).
-    fcum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(slot_ok.astype(jnp.int32))]
-    )
-    pos = jnp.concatenate([offsets, offsets[-1:] + counts[-1:]])
-    red_bounds = fcum[jnp.clip(pos, 0, EXP)]
-
     n_slots = jnp.minimum(n_isect, EXP)
     return StreamIsect(
         sorted_g=jnp.where(slot_ok, sorted_g, M0).astype(jnp.int32),
         st_starts=st_starts,
         st_starts_al=st_starts_al,
-        red_perm=red_perm,
-        red_bounds=red_bounds,
         n_isect=n_isect,
         n_slots=n_slots,
         overflow=overflow,
@@ -330,16 +308,33 @@ def build_stream_intersections(
 
 
 def reduce_stream_grads(
-    pgrads: jax.Array,  # [pad_cap, NF] per-slot grads (aligned rows)
-    isect: StreamIsect,
+    pgrads: jax.Array,  # [NF, pad_cap] per-slot grads (kernel-native)
     num_flat: int,  # M0
+    n_payload: int = N_GCOLS,  # leading grad rows to reduce (10 w/o absgrad)
 ) -> jax.Array:
-    """Per-slot -> per-gaussian gradient reduction: one row gather into
-    by-gaussian order, one f32 cumsum, boundary diffs. Output [M0, NF] in
-    ORIGINAL (camera-major) order — no inverse permutation needed because
-    ``red_bounds`` indexes the original-order counts cumsum."""
-    g_sorted = pgrads[isect.red_perm]  # [exp_cap, NF]
-    cs = jnp.cumsum(g_sorted.astype(jnp.float32), axis=0)
-    cs = jnp.concatenate([jnp.zeros((1, NF), cs.dtype), cs], axis=0)
-    cs_at = cs[isect.red_bounds]  # [M0 + 1, NF]
-    return cs_at[1:] - cs_at[:-1]
+    """Per-slot -> per-gaussian gradient reduction, gather-free.
+
+    The backward kernel writes ``GCOL_KEY = gid + 1`` (f32) into every grad
+    row it produces; unwritten rows (alignment padding, early-terminated
+    chunks, dropped streams) stay zero and sort to the front. One stable
+    single-key sort brings each gaussian's rows together (payload columns
+    ride ~free, measured), then a Pallas one-hot matmul reduces each block
+    of R gaussians (ops.seg_reduce). Output ``[n_payload, M0]`` in ORIGINAL
+    (camera-major) order. The sort is the dominant cost (~2.4 ms per payload
+    row at 3.2M slots, measured), so callers drop rows they don't need
+    (``n_payload=10`` skips ABSDX/ABSDY when absgrad isn't requested)."""
+    from splat_one_tpu.ops import seg_reduce
+
+    parts = jax.lax.sort(
+        [pgrads[GCOL_KEY]] + [pgrads[i] for i in range(n_payload)],
+        is_stable=False, num_keys=1,
+    )
+    rows = jnp.stack(list(parts[1:]) + [parts[0]], axis=0)
+    rows = jnp.pad(rows, ((0, 0), (0, seg_reduce.CH)))
+    nb = -(-num_flat // seg_reduce.R)
+    queries = (jnp.arange(nb + 1, dtype=jnp.int32) * seg_reduce.R
+               ).astype(jnp.float32) + 1.0
+    bounds = jnp.searchsorted(parts[0], queries, side="left").astype(
+        jnp.int32)
+    out = seg_reduce.segment_reduce_sorted(rows, bounds, num_flat)
+    return out[:, :num_flat]

@@ -71,6 +71,7 @@ class StreamCfg:
     n_supertiles: int  # per camera (sw * sh)
     wrap_x: bool = False
     term_thresh: float = 1e-5
+    absgrad: bool = False  # reduce ABSDX/ABSDY rows (sort payloads cost)
 
     @property
     def tw(self):
@@ -111,13 +112,14 @@ class StreamCfg:
 
     @staticmethod
     def from_caps(caps: StreamCaps, width, height, tile_size, num_cameras,
-                  num_gaussians, wrap_x=False, term_thresh=1e-5):
+                  num_gaussians, wrap_x=False, term_thresh=1e-5,
+                  absgrad=False):
         return StreamCfg(
             width=width, height=height, tile_size=tile_size,
             num_cameras=num_cameras, num_gaussians=num_gaussians,
             chunk=caps.chunk, exp_cap=caps.exp_cap,
             n_supertiles=caps.n_supertiles // num_cameras,
-            wrap_x=wrap_x, term_thresh=term_thresh,
+            wrap_x=wrap_x, term_thresh=term_thresh, absgrad=absgrad,
         )
 
 
@@ -136,12 +138,42 @@ def _tile_pixel_coords(cfg: StreamCfg, s_global, j: int):
     return px, py, tx, ty
 
 
-def _tri_matrices(G):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (rows > cols).astype(jnp.float32), (rows >= cols).astype(
-        jnp.float32
+def _psum_incl(x, G):
+    """Inclusive prefix sum along axis 0 of [G, P]: log2(G) shifted adds on
+    the VPU — exact f32, replacing the [G,G]@[G,P] triangular MXU matmul
+    (which needs 6 HIGHEST passes for f32 accuracy and dominated kernel
+    time)."""
+    s = 1
+    while s < G:
+        x = x + jnp.concatenate(
+            [jnp.zeros((s,) + x.shape[1:], x.dtype), x[:-s]], axis=0
+        )
+        s *= 2
+    return x
+
+
+def _psum_excl(x, G):
+    """Exclusive prefix sum along axis 0 of [G, P]."""
+    x = jnp.concatenate(
+        [jnp.zeros((1,) + x.shape[1:], x.dtype), x[:-1]], axis=0
     )
+    return _psum_incl(x, G)
+
+
+def _pprod_excl(x, G):
+    """Exclusive prefix PRODUCT along axis 0 of [G, P]: same doubling
+    network with multiplies — replaces log1p/cumsum/exp transmittance
+    (3 transcendentals per element) with pure f32 products."""
+    x = jnp.concatenate(
+        [jnp.ones((1,) + x.shape[1:], x.dtype), x[:-1]], axis=0
+    )
+    s = 1
+    while s < G:
+        x = x * jnp.concatenate(
+            [jnp.ones((s,) + x.shape[1:], x.dtype), x[:-s]], axis=0
+        )
+        s *= 2
+    return x
 
 
 def _mm(a, b, dims):
@@ -154,23 +186,16 @@ def _mm(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-def _chunk_q(cfg: StreamCfg, chunk, px, py, tx, ty, rowmask):
-    """Per-(slot, pixel) forward quantities for one chunk against one tile.
-
-    ``chunk`` is [NF, G]; ``rowmask`` [G, 1] kills slots outside the
-    supertile's stream range (128-aligned chunk bases over-read neighbors).
-    Slots whose per-TILE bbox (3-sigma radius, identical float math to the
-    per-tile-list builder) misses this tile are killed too — exact parity
-    with the gsplat tile-list semantics, where a gaussian outside a tile's
-    list contributes nothing even if its alpha there is >= 1/255."""
+def _chunk_bbox(cfg: StreamCfg, chunk, tx, ty, rowmask):
+    """Cheap per-slot [G, 1] tile-membership mask for one chunk against one
+    tile: per-TILE bbox (3-sigma radius, identical float math to the
+    per-tile-list builder) AND ``rowmask`` (slots outside the supertile's
+    stream range from 128-aligned chunk-base over-read). Gates the heavy
+    per-pixel work: a tile most chunks' slots miss is skipped entirely."""
     G = cfg.chunk
     ts = float(cfg.tile_size)
     x = chunk[si.COL_X, :].reshape(G, 1)
     y = chunk[si.COL_Y, :].reshape(G, 1)
-    ca = chunk[si.COL_CA, :].reshape(G, 1)
-    cb = chunk[si.COL_CB, :].reshape(G, 1)
-    cc = chunk[si.COL_CC, :].reshape(G, 1)
-    op = chunk[si.COL_OPAC, :].reshape(G, 1)
     rad = chunk[si.COL_RADIUS, :].reshape(G, 1)
     txf = tx.astype(jnp.float32) if hasattr(tx, "astype") else float(tx)
     tyf = ty.astype(jnp.float32) if hasattr(ty, "astype") else float(ty)
@@ -186,6 +211,24 @@ def _chunk_q(cfg: StreamCfg, chunk, px, py, tx, ty, rowmask):
         in_x = (txf >= jnp.floor((x - rad) / ts)) & (
             txf < jnp.ceil((x + rad) / ts)
         )
+    return rowmask & in_x & in_y
+
+
+def _chunk_q(cfg: StreamCfg, chunk, px, py, live):
+    """Per-(slot, pixel) forward quantities for one chunk against one tile.
+
+    ``chunk`` is [NF, G]; ``live`` [G, 1] is the _chunk_bbox mask — slots
+    outside the stream range or whose per-tile bbox misses this tile
+    contribute nothing (exact gsplat tile-list semantics: a gaussian
+    outside a tile's list contributes nothing even if its alpha there is
+    >= 1/255)."""
+    G = cfg.chunk
+    x = chunk[si.COL_X, :].reshape(G, 1)
+    y = chunk[si.COL_Y, :].reshape(G, 1)
+    ca = chunk[si.COL_CA, :].reshape(G, 1)
+    cb = chunk[si.COL_CB, :].reshape(G, 1)
+    cc = chunk[si.COL_CC, :].reshape(G, 1)
+    op = chunk[si.COL_OPAC, :].reshape(G, 1)
     dx = x - px
     if cfg.wrap_x:
         dx = dx - cfg.width * jnp.round(dx * (1.0 / cfg.width))
@@ -193,9 +236,7 @@ def _chunk_q(cfg: StreamCfg, chunk, px, py, tx, ty, rowmask):
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     expneg = jnp.exp(-sigma)
     alpha_raw = op * expneg
-    killed = (sigma < 0.0) | (alpha_raw < ALPHA_MIN) | jnp.logical_not(
-        rowmask & in_x & in_y
-    )
+    killed = (sigma < 0.0) | (alpha_raw < ALPHA_MIN) | jnp.logical_not(live)
     clamped = alpha_raw > ALPHA_MAX
     alpha = jnp.where(killed, 0.0, jnp.minimum(alpha_raw, ALPHA_MAX))
     return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, expneg=expneg,
@@ -214,7 +255,6 @@ def _stream_fwd_kernel(cfg: StreamCfg, starts_ref, off_ref, packed_ref,
     s1 = starts_ref[t + 1]
     base0 = pl.multiple_of((s0 // G) * G, G)
     nchunks = pl.cdiv(s1 - base0, G)
-    tri_strict, _ = _tri_matrices(G)
     pxy = [_tile_pixel_coords(cfg, t + off_ref[0], j) for j in range(NT)]
 
     # reset persistent scratch (it survives across grid programs)
@@ -251,20 +291,21 @@ def _stream_fwd_kernel(cfg: StreamCfg, starts_ref, off_ref, packed_ref,
             alive = (jnp.max(Tst[j]) >= cfg.term_thresh) | (
                 cfg.term_thresh <= 0.0
             )
+            px, py, tx, ty = pxy[j]
+            live = _chunk_bbox(cfg, chunk, tx, ty, rowmask)
 
-            @pl.when(alive)
-            def _(j=j):
-                px, py, tx, ty = pxy[j]
-                q = _chunk_q(cfg, chunk, px, py, tx, ty, rowmask)
+            @pl.when(alive & jnp.any(live))
+            def _(j=j, live=live, px=px, py=py):
+                q = _chunk_q(cfg, chunk, px, py, live)
                 alpha = q["alpha"]
-                logt = jnp.log1p(-alpha)
-                cum_excl = _mm(tri_strict, logt, (((1,), (0,))))
+                one_m = 1.0 - alpha
+                Tins = _pprod_excl(one_m, G)  # [G, P] exclusive products
                 T_row = Tst[j]
-                w_ = alpha * jnp.exp(cum_excl) * T_row  # [G, P]
+                w_ = alpha * Tins * T_row  # [G, P]
                 cols = chunk[si.COL_R:si.COL_R + 8, :]  # [8, G]
                 accst[j] = accst[j] + _mm(cols, w_, (((1,), (0,))))
-                Tst[j] = T_row * jnp.exp(
-                    jnp.sum(logt, axis=0, keepdims=True)
+                Tst[j] = T_row * (
+                    Tins[G - 1:G, :] * one_m[G - 1:G, :]
                 )
                 nch_s[j] = k + 1
 
@@ -312,7 +353,6 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
     base0 = pl.multiple_of((s0 // G) * G, G)
     a0 = pl.multiple_of(al_ref[t], G)
     nchunks = pl.cdiv(s1 - base0, G)
-    tri_strict, tri_incl = _tri_matrices(G)
     pxy = [_tile_pixel_coords(cfg, t + off_ref[0], j) for j in range(NT)]
 
     # per-tile constants from forward outputs
@@ -373,24 +413,33 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
         cols4 = chunk[si.COL_R:si.COL_R + 4, :]  # [4, G]
 
         cgst[0] = jnp.zeros((NF, G), jnp.float32)
+        # reduce-by-key row: gid + 1 for this supertile's own slots, 0 for
+        # foreign/padding rows (their grads are written by their own
+        # program; rows never written anywhere stay zero-key and sort to
+        # the front, excluded by the reduction bounds).
+        cgst[0, si.GCOL_KEY:si.GCOL_KEY + 1, :] = jnp.where(
+            rowmask.reshape(1, G),
+            chunk[si.COL_GID:si.COL_GID + 1, :] + 1.0,
+            0.0,
+        )
         for j in range(NT):
             g4, gA, godot, T_final = consts[j]
             px, py, tx, ty = pxy[j]
+            live = _chunk_bbox(cfg, chunk, tx, ty, rowmask)
 
-            @pl.when(k < nch[j])
+            @pl.when((k < nch[j]) & jnp.any(live))
             def _(j=j, g4=g4, gA=gA, godot=godot,
-                  T_final=T_final, px=px, py=py, tx=tx, ty=ty):
-                q = _chunk_q(cfg, chunk, px, py, tx, ty, rowmask)
+                  T_final=T_final, px=px, py=py, live=live):
+                q = _chunk_q(cfg, chunk, px, py, live)
                 alpha, expneg = q["alpha"], q["expneg"]
                 dx, dy = q["dx"], q["dy"]
-                logt = jnp.log1p(-alpha)
-                cum_excl = _mm(tri_strict, logt, (((1,), (0,))))
-                T_i = jnp.exp(cum_excl) * Tst[j]
-                w_ = alpha * T_i
                 one_m = 1.0 - alpha
+                Texc = _pprod_excl(one_m, G)
+                T_i = Texc * Tst[j]
+                w_ = alpha * T_i
                 cg = _mm(cols4, g4, (((0,), (0,))))  # [G, P]
                 wcg = w_ * cg
-                prefix_incl = _mm(tri_incl, wcg, (((1,), (0,))))
+                prefix_incl = _psum_incl(wcg, G)
                 dalpha = (
                     T_i * cg
                     - (godot - gPst[j] - prefix_incl) / one_m
@@ -419,8 +468,8 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
                     ],
                     axis=0,
                 )  # [NF, G]
-                Tst[j] = Tst[j] * jnp.exp(
-                    jnp.sum(logt, axis=0, keepdims=True)
+                Tst[j] = Tst[j] * (
+                    Texc[G - 1:G, :] * one_m[G - 1:G, :]
                 )
                 gPst[j] = gPst[j] + jnp.sum(wcg, axis=0, keepdims=True)
                 cgst[0] = cgst[0] + grad_rows
@@ -527,6 +576,7 @@ def _make_composite_fn(cfg: StreamCfg):
                 colors.reshape(M0, 3),
                 depths.reshape(M0, 1),
                 radii.reshape(M0, 1),
+                jnp.arange(M0, dtype=jnp.float32).reshape(M0, 1),  # gid
             ],
             axis=1,
         )
@@ -561,8 +611,9 @@ def _make_composite_fn(cfg: StreamCfg):
         isect = StreamIsect(*isect_arrays)
         pgrads = _bwd_call(cfg, isect.st_starts, isect.st_starts_al, packed,
                            fwd_out, gout, tile_offset)
-        seg = si.reduce_stream_grads(pgrads.T, isect, M0)  # [M0, NF]
-        g = lambda c: seg[:, c]
+        n_payload = si.N_GCOLS if cfg.absgrad else si.GCOL_ABSDX
+        seg = si.reduce_stream_grads(pgrads, M0, n_payload)
+        g = lambda c: seg[c]
         dmeans2d = jnp.stack([g(si.GCOL_DX), g(si.GCOL_DY)],
                              axis=-1).reshape(C, N, 2)
         dconics = jnp.stack(
@@ -573,8 +624,11 @@ def _make_composite_fn(cfg: StreamCfg):
         ).reshape(C, N, 3)
         dopac = g(si.GCOL_DOPAC).reshape(C, N)
         ddepth = g(si.GCOL_DDEPTH).reshape(C, N)
-        dabs = jnp.stack([g(si.GCOL_ABSDX), g(si.GCOL_ABSDY)],
-                         axis=-1).reshape(C, N, 2)
+        if cfg.absgrad:
+            dabs = jnp.stack([g(si.GCOL_ABSDX), g(si.GCOL_ABSDY)],
+                             axis=-1).reshape(C, N, 2)
+        else:
+            dabs = jnp.zeros((C, N, 2), seg.dtype)
         nones = (None,) * len(isect_arrays)
         return (dmeans2d, dconics, dcolors, dopac, ddepth, None, dabs,
                 None) + nones

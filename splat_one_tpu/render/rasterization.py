@@ -109,6 +109,7 @@ def rasterization(
         cfg = StreamCfg.from_caps(
             caps, width, height, tile_size, C, N,
             wrap_x=(camera_model == "spherical"),
+            absgrad=(absgrad_dummy is not None),
         )
         isect = si_mod.build_stream_intersections(
             proj_sg, width, height, tile_size, caps,
