@@ -7,6 +7,7 @@ Usage:
 
 import os
 flags = os.environ.get("XLA_FLAGS", "")
+SS_ENV = int(os.environ.get("SPLAT_SS", "2"))
 if os.environ.get("STREAM_CPU", "1") == "1":
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -43,11 +44,17 @@ def make_scene(n=2000, c=2, seed=0):
 
 def run(impl, term_thresh=None):
     means, quats, scales, opac, colors, viewmats, Ks, w, h = make_scene()
+    caps = None
+    if impl == "stream" and SS_ENV != 2:
+        from splat_one_tpu.ops.stream_isect import StreamCaps, supertile_grid
+        _, _, sw_, sh_ = supertile_grid(w, h, 16, SS_ENV)
+        caps = StreamCaps.choose(means.shape[0], viewmats.shape[0],
+                                 viewmats.shape[0] * sw_ * sh_, ss=SS_ENV)
 
     def loss_fn(m, q, s, o, c):
         render, alpha, info = rasterization(
             m, q, s, o, c, viewmats, Ks, w, h, render_mode="RGB+ED",
-            impl=impl)
+            impl=impl, caps=caps)
         rgb, depth = render[..., :3], render[..., 3:]
         # weighted sums so grads are nontrivial
         wts = jnp.linspace(0.5, 1.5, rgb.size).reshape(rgb.shape)

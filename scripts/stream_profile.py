@@ -3,7 +3,9 @@
 Each stage is jit-looped ITERS times on device (one host sync per stage).
 """
 
+import os
 import time
+SS_ENV = int(os.environ.get("SPLAT_SS", "2"))
 
 import numpy as np
 import jax
@@ -52,9 +54,9 @@ def main():
         [[[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]]], np.float32))
     args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, sh))
 
-    _, _, sw, sh_ = si_mod.supertile_grid(W, H, 16)
+    _, _, sw, sh_ = si_mod.supertile_grid(W, H, 16, SS_ENV)
     caps = StreamCaps.choose(N_GAUSS, 1, sw * sh_,
-                             avg_supertiles_per_gaussian=3.0)
+                             avg_supertiles_per_gaussian=3.0, ss=SS_ENV)
     cfg = StreamCfg.from_caps(caps, W, H, 16, 1, N_GAUSS)
 
     def proj_fn(means, quats, scales, opac, sh, c):

@@ -114,7 +114,7 @@ def segment_reduce_sorted(rows: jax.Array, bounds: jax.Array,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((nr, R), lambda k, b: (0, k),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[

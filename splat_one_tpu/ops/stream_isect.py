@@ -42,8 +42,11 @@ import jax.numpy as jnp
 
 from splat_one_tpu.ops.projection import Projected
 
-# Supertile = SS x SS tiles of `tile_size` pixels each.
-SS = 2  # tiles per supertile side (32x32 px supertiles at tile_size=16)
+# Supertile = ss x ss tiles of `tile_size` pixels each. ss trades glue rows
+# (bigger supertiles -> fewer (gaussian, supertile) intersections through
+# the rate-bound sort/gather/reduce glue) against kernel masked work (each
+# slot is tested against ss^2 tiles). Default 2 (32x32 px at tile_size=16).
+SS = 2
 
 # Packed-field column layout of the [M0, NF] field table / [G, NF] chunks.
 COL_X = 0
@@ -84,6 +87,7 @@ class StreamCaps:
     exp_cap: int  # max total (gaussian, supertile) intersections
     n_supertiles: int  # C * SH * SW
     chunk: int = 128  # kernel chunk G
+    ss: int = SS  # tiles per supertile side
 
     @property
     def pad_cap(self) -> int:
@@ -101,14 +105,15 @@ class StreamCaps:
 
     @staticmethod
     def choose(num_gaussians: int, num_cameras: int, n_supertiles: int,
-               chunk: int = 128, avg_supertiles_per_gaussian: float = 3.0):
+               chunk: int = 128, avg_supertiles_per_gaussian: float = 3.0,
+               ss: int = SS):
         exp_cap = int(
             num_cameras * num_gaussians * avg_supertiles_per_gaussian
         )
         exp_cap = max(exp_cap, 1024)
         exp_cap = -(-exp_cap // chunk) * chunk
         return StreamCaps(exp_cap=exp_cap, n_supertiles=n_supertiles,
-                          chunk=chunk)
+                          chunk=chunk, ss=ss)
 
 
 class StreamIsect(NamedTuple):
@@ -131,11 +136,11 @@ class StreamIsect(NamedTuple):
     overflow: jax.Array  # [] bool
 
 
-def supertile_grid(width: int, height: int, tile_size: int):
+def supertile_grid(width: int, height: int, tile_size: int, ss: int = SS):
     tw = -(-width // tile_size)
     th = -(-height // tile_size)
-    sw = -(-tw // SS)
-    sh = -(-th // SS)
+    sw = -(-tw // ss)
+    sh = -(-th // ss)
     return tw, th, sw, sh
 
 
@@ -203,14 +208,14 @@ def build_stream_intersections(
     """
     C, N = proj.depths.shape
     M0 = C * N
-    tw, th, sw, sh = supertile_grid(width, height, tile_size)
+    tw, th, sw, sh = supertile_grid(width, height, tile_size, caps.ss)
     NS = sw * sh
     CS = C * NS
     if n_st_local:
         CS = n_st_local
     G = caps.chunk
     EXP = caps.exp_cap
-    sps = tile_size * SS  # supertile pixel size
+    sps = tile_size * caps.ss  # supertile pixel size
 
     # 1. supertile bbox spans (original [C, N] order — no depth pre-sort).
     u = proj.means2d[..., 0].reshape(M0)

@@ -49,7 +49,6 @@ from splat_one_tpu.ops.stream_isect import NF, SS, StreamCaps, StreamIsect
 
 OUT_CH = 8  # r, g, b, alpha, depth, n_chunks, pad, pad
 CH_NCHUNKS = 5
-NT = SS * SS  # tiles per supertile
 NBUF = 4
 
 
@@ -72,6 +71,11 @@ class StreamCfg:
     wrap_x: bool = False
     term_thresh: float = 1e-5
     absgrad: bool = False  # reduce ABSDX/ABSDY rows (sort payloads cost)
+    ss: int = SS  # tiles per supertile side
+
+    @property
+    def nt(self):
+        return self.ss * self.ss
 
     @property
     def tw(self):
@@ -83,11 +87,11 @@ class StreamCfg:
 
     @property
     def sw(self):
-        return -(-self.tw // SS)
+        return -(-self.tw // self.ss)
 
     @property
     def sh(self):
-        return -(-self.th // SS)
+        return -(-self.th // self.ss)
 
     @property
     def cs(self):
@@ -120,6 +124,7 @@ class StreamCfg:
             chunk=caps.chunk, exp_cap=caps.exp_cap,
             n_supertiles=caps.n_supertiles // num_cameras,
             wrap_x=wrap_x, term_thresh=term_thresh, absgrad=absgrad,
+            ss=caps.ss,
         )
 
 
@@ -130,8 +135,8 @@ def _tile_pixel_coords(cfg: StreamCfg, s_global, j: int):
     st = s_global % ns
     sy = st // cfg.sw
     sx = st % cfg.sw
-    ty = sy * SS + (j // SS)
-    tx = sx * SS + (j % SS)
+    ty = sy * cfg.ss + (j // cfg.ss)
+    tx = sx * cfg.ss + (j % cfg.ss)
     local = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.npix), 1)
     px = (tx * ts + local % ts).astype(jnp.float32) + 0.5
     py = (ty * ts + local // ts).astype(jnp.float32) + 0.5
@@ -249,7 +254,7 @@ def _row_iota(G):
 
 def _stream_fwd_kernel(cfg: StreamCfg, starts_ref, off_ref, packed_ref,
                        out_ref, buf, sems, Tst, accst, nch_s):
-    G, P = cfg.chunk, cfg.npix
+    G, P, NT = cfg.chunk, cfg.npix, cfg.nt
     t = pl.program_id(0)
     s0 = starts_ref[t]
     s1 = starts_ref[t + 1]
@@ -346,7 +351,7 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
                        packed_ref, fwd_ref, gout_ref, pginit_ref, pgrad_ref,
                        buf, wbuf, sems, wsems, Tst, gPst, cgst):
     del pginit_ref  # aliased zero buffer; never read
-    G, P = cfg.chunk, cfg.npix
+    G, P, NT = cfg.chunk, cfg.npix, cfg.nt
     t = pl.program_id(0)
     s0 = starts_ref[t]
     s1 = starts_ref[t + 1]
@@ -485,7 +490,7 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
 
 
 def _fwd_call(cfg: StreamCfg, st_starts, packed, tile_offset=None):
-    G, P = cfg.chunk, cfg.npix
+    G, P, NT = cfg.chunk, cfg.npix, cfg.nt
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_stream_fwd_kernel, cfg)
@@ -514,7 +519,7 @@ def _fwd_call(cfg: StreamCfg, st_starts, packed, tile_offset=None):
 
 def _bwd_call(cfg: StreamCfg, st_starts, st_starts_al, packed, fwd_out,
               gout, tile_offset=None):
-    G, P = cfg.chunk, cfg.npix
+    G, P, NT = cfg.chunk, cfg.npix, cfg.nt
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_stream_bwd_kernel, cfg)
@@ -564,7 +569,7 @@ def _make_composite_fn(cfg: StreamCfg):
     M0 = C * N
     caps = StreamCaps(exp_cap=cfg.exp_cap,
                       n_supertiles=cfg.num_cameras * cfg.n_supertiles,
-                      chunk=cfg.chunk)
+                      chunk=cfg.chunk, ss=cfg.ss)
 
     def build_packed(means2d, conics, colors, opacities, depths, radii,
                      isect):
@@ -661,11 +666,11 @@ def composite_stream(
 
 def stream_to_image(cfg: StreamCfg, out: jax.Array):
     """[CS, NT, OUT_CH, P] -> (rgb [C,H,W,3], alpha, depth [C,H,W,1])."""
-    C, ts = cfg.num_cameras, cfg.tile_size
+    C, ts, ss = cfg.num_cameras, cfg.tile_size, cfg.ss
     sh, sw = cfg.sh, cfg.sw
-    x = out.reshape(C, sh, sw, SS, SS, OUT_CH, ts, ts)
+    x = out.reshape(C, sh, sw, ss, ss, OUT_CH, ts, ts)
     x = x.transpose(0, 5, 1, 3, 6, 2, 4, 7).reshape(
-        C, OUT_CH, sh * SS * ts, sw * SS * ts
+        C, OUT_CH, sh * ss * ts, sw * ss * ts
     )
     x = x[:, :, : cfg.height, : cfg.width]
     rgb = x[:, 0:3].transpose(0, 2, 3, 1)

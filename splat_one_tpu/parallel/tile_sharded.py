@@ -24,7 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as Pspec
 
 from splat_one_tpu.ops import intersect as isect_mod
@@ -109,7 +109,7 @@ def rasterization_tile_sharded(
         mesh=mesh,
         in_specs=(Pspec(),) * 7,
         out_specs=Pspec(axis),
-        check_rep=False,
+        check_vma=False,
     )
     tile_out = sharded(
         means, quats, scales, opacities, sh_coeffs, viewmats, Ks

@@ -30,7 +30,7 @@ from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
 
 from splat_one_tpu.core.transforms import invert_se3
@@ -188,7 +188,7 @@ def make_sharded_train_step(
             Pspec(), Pspec(),
         ),
         out_specs=(pspec, opt_spec, strat_spec, Pspec()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

@@ -70,11 +70,22 @@ def rasterization(
     means2d_dummy: Optional[jax.Array] = None,  # [C, N, 2] grad hook
     absgrad_dummy: Optional[jax.Array] = None,  # [C, N, 2] absgrad hook
     impl: Optional[str] = None,  # "stream" | "tiled"; inferred from caps
+    proj_transform=None,  # Projected -> Projected, applied after projection
 ):
     """Render gaussians into C cameras. Fully differentiable.
 
     Returns ``(render_colors, render_alphas, info)``; ``info`` holds
     ``radii`` [C, N] (stop-gradient), the isect layout, and overflow flag.
+
+    ``proj_transform`` is the multi-chip hook (SURVEY.md §2c): under
+    ``shard_map`` the caller projects only its local gaussian shard and
+    passes ``lambda p: tree all_gather(p, 'gauss')`` here; autodiff turns
+    the gather into a psum_scatter of gradients back to the owning shard
+    (gsplat's ``rasterization(distributed=True)`` analog,
+    reference utils/gsplat_utils/gsplat_trainer.py:491). The means2d /
+    absgrad dummies are added BEFORE the transform, so their cotangents
+    stay local-shard-shaped for per-shard densification stats.
+    ``info["radii_local"]`` is the pre-transform radii for the same reason.
     """
     if render_mode not in ("RGB", "RGB+ED", "ED", "D"):
         raise ValueError(f"bad render_mode {render_mode!r}")
@@ -92,19 +103,23 @@ def rasterization(
         radius_clip=radius_clip,
         antialiased=(rasterize_mode == "antialiased"), alive=alive,
     )
-    means2d = proj.means2d
     if means2d_dummy is not None:
         # Zero-valued input whose cotangent equals d(loss)/d(means2d) — the
         # JAX analog of gsplat's retained means2d.grad for densification.
-        means2d = means2d + means2d_dummy
+        proj = proj._replace(means2d=proj.means2d + means2d_dummy)
+    radii_local = proj.radii
+    if proj_transform is not None:
+        proj = proj_transform(proj)
+        N = proj.means2d.shape[1]  # post-gather (full) gaussian count
+    means2d = proj.means2d
 
     if impl is None:
         impl = "tiled" if isinstance(caps, IsectCaps) else "stream"
     proj_sg = jax.lax.stop_gradient(proj)
 
     if impl == "stream":
-        _, _, sw, sh = si_mod.supertile_grid(width, height, tile_size)
         if not isinstance(caps, StreamCaps):
+            _, _, sw, sh = si_mod.supertile_grid(width, height, tile_size)
             caps = StreamCaps.choose(N, C, C * sw * sh)
         cfg = StreamCfg.from_caps(
             caps, width, height, tile_size, C, N,
@@ -152,6 +167,7 @@ def rasterization(
 
     info = {
         "radii": proj.radii,
+        "radii_local": radii_local,
         "depths": proj.depths,
         "valid": proj.valid,
         "n_isect": isect.n_isect,

@@ -98,6 +98,10 @@ class Config:
     tile_size: int = 16
     # intersection capacity as avg tiles per gaussian (exp_cap sizing)
     avg_tiles_per_gaussian: float = 8.0
+    # rasterizer backend: "stream" (supertile-stream, fast) or "tiled"
+    raster_impl: str = "stream"
+    # stream-impl exp_cap sizing: avg supertiles per gaussian
+    avg_supertiles_per_gaussian: float = 4.0
     seed: int = 42
 
     def adjust_steps(self, factor: Optional[float] = None) -> "Config":

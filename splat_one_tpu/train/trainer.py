@@ -72,11 +72,23 @@ def _sh_band_degrees(sh_degree: int) -> np.ndarray:
 
 
 class Trainer:
-    """Train/eval/render driver over one scene."""
+    """Train/eval/render driver over one scene.
 
-    def __init__(self, cfg: Config, scene: SceneData, result_dir: str = None):
+    With ``mesh`` (a 2-D ``jax.sharding.Mesh`` with axes ``("data",
+    "gauss")``) the SAME full-featured step — densification, pose/
+    appearance/bilateral optimization, SH ramp, visible-adam, depth loss —
+    runs SPMD: camera batches sharded over ``data`` (DDP analog,
+    reference gsplat_trainer.py:944-998), splat buffers sharded over
+    ``gauss`` with projected fields all_gather'd for rasterization and
+    gradients psum_scatter'd back (gsplat ``rasterization(distributed=
+    True)`` analog, :491). ``mesh=None`` is the single-chip path with the
+    identical code, no collectives."""
+
+    def __init__(self, cfg: Config, scene: SceneData, result_dir: str = None,
+                 mesh=None):
         self.cfg = cfg.adjust_steps()
         cfg = self.cfg
+        self.mesh = mesh
         self.scene = scene
         self.result_dir = result_dir or cfg.result_dir
         os.makedirs(self.result_dir, exist_ok=True)
@@ -101,6 +113,12 @@ class Trainer:
         )
         if isinstance(cfg.strategy, MCMCStrategyCfg):
             capacity = max(capacity, _next_pow2(cfg.strategy.cap_max))
+        if mesh is not None:
+            n_g = mesh.shape["gauss"]
+            capacity = -(-capacity // n_g) * n_g
+            assert cfg.batch_size % mesh.shape["data"] == 0, (
+                "batch_size must divide the data axis"
+            )
         feat_dim = 32 if cfg.app_opt else 0  # reference :367-369
         if cfg.init_type == "sfm":
             params, alive = G.init_splats_from_points(
@@ -151,11 +169,12 @@ class Trainer:
             bil_grids=bil_grids, bil_opt_state=bil_opt_state,
             app_params=app_params, app_opt_state=app_opt_state,
         )
-        self.caps = IsectCaps.choose(
-            capacity, cfg.batch_size,
-            _n_tiles(W, H, cfg.tile_size),
-            avg_tiles_per_gaussian=cfg.avg_tiles_per_gaussian,
+        self._isect_mult = (
+            cfg.avg_supertiles_per_gaussian
+            if cfg.raster_impl == "stream"
+            else cfg.avg_tiles_per_gaussian
         )
+        self.caps = self._choose_caps(capacity)
         self.key = jax.random.PRNGKey(cfg.seed)
         self._band_deg = jnp.asarray(_sh_band_degrees(cfg.sh_degree))
         self._hp = opt.adam_hparams(cfg.batch_size)
@@ -163,6 +182,86 @@ class Trainer:
         # appearance-path params (reference lrs, gsplat_trainer.py:259-263)
         self._lrs_base.setdefault("features", 2.5e-3)
         self._lrs_base.setdefault("colors", 2.5e-3)
+        if mesh is not None:
+            self._shard_state()
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _state_specs(self):
+        """PartitionSpecs for TrainState on the (data, gauss) mesh: splat
+        buffers + Adam moments + alive/strategy sharded over 'gauss' on the
+        capacity axis; pose/bilateral/appearance modules replicated (they
+        are small and their grads are identical across the gauss axis)."""
+        from jax.sharding import PartitionSpec as P
+
+        g = P("gauss")
+        r = P()
+        pspec = {k: g for k in self.state.params}
+        rep_opt = lambda s: (
+            None if s is None
+            else opt.AdamState(
+                m=jax.tree.map(lambda _: r, s.m),
+                v=jax.tree.map(lambda _: r, s.v), count=r,
+            )
+        )
+        return TrainState(
+            params=pspec,
+            opt_state=opt.AdamState(m=dict(pspec), v=dict(pspec), count=r),
+            alive=g,
+            strat=S.StrategyState(grad2d=g, count=g),
+            step=r,
+            pose_params=None if self.state.pose_params is None else r,
+            pose_opt_state=rep_opt(self.state.pose_opt_state),
+            bil_grids=None if self.state.bil_grids is None else r,
+            bil_opt_state=rep_opt(self.state.bil_opt_state),
+            app_params=(
+                None if self.state.app_params is None
+                else jax.tree.map(lambda _: r, self.state.app_params)
+            ),
+            app_opt_state=rep_opt(self.state.app_opt_state),
+        )
+
+    def _shard_state(self):
+        from jax.sharding import NamedSharding
+
+        specs = self._state_specs()
+        self.state = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            self.state, specs,
+        )
+
+    # ------------------------------------------------------------------
+    def _choose_caps(self, capacity: int, mult: float = None):
+        """Intersection capacities for the configured rasterizer backend
+        (stream supertile caps by default; gen-1 per-tile caps when
+        ``cfg.raster_impl == "tiled"``)."""
+        cfg = self.cfg
+        mult = mult if mult is not None else self._isect_mult
+        if cfg.raster_impl == "stream":
+            from splat_one_tpu.ops.stream_isect import (
+                StreamCaps, supertile_grid,
+            )
+
+            _, _, sw, sh = supertile_grid(
+                self.width, self.height, cfg.tile_size
+            )
+            return StreamCaps.choose(
+                capacity, cfg.batch_size, cfg.batch_size * sw * sh,
+                avg_supertiles_per_gaussian=mult,
+            )
+        return IsectCaps.choose(
+            capacity, cfg.batch_size,
+            _n_tiles(self.width, self.height, cfg.tile_size),
+            avg_tiles_per_gaussian=mult,
+        )
+
+    def _grow_isect_caps(self):
+        """React to intersection-capacity overflow: raise the per-gaussian
+        intersection budget 1.5x and rebuild the jitted steps. Without this
+        an overflowing scene silently truncates intersections (wrong
+        gradients) for the rest of the run."""
+        self._isect_mult *= 1.5
+        self.caps = self._choose_caps(self.capacity)
         self._build_steps()
 
     # ------------------------------------------------------------------
@@ -173,6 +272,43 @@ class Trainer:
         hp = self._hp
         band_deg = self._band_deg
         is_mcmc = isinstance(cfg.strategy, MCMCStrategyCfg)
+        use_abs = (not is_mcmc) and getattr(cfg.strategy, "absgrad", False)
+
+        # ---- mesh axis helpers: no-ops single-chip, collectives under
+        # shard_map over the ("data", "gauss") mesh ----
+        mesh = self.mesh
+        sharded = mesh is not None
+        n_gauss = mesh.shape["gauss"] if sharded else 1
+
+        def pmean_data(x):
+            return jax.lax.pmean(x, "data") if sharded else x
+
+        def psum_data(x):
+            return jax.lax.psum(x, "data") if sharded else x
+
+        def psum_gauss(x):
+            return jax.lax.psum(x, "gauss") if sharded else x
+
+        def gather_gauss(proj):
+            if not sharded:
+                return proj
+            return jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "gauss", axis=1, tiled=True),
+                proj,
+            )
+
+        def fold_gauss(key):
+            if not sharded:
+                return key
+            return jax.random.fold_in(key, jax.lax.axis_index("gauss"))
+
+        strat_cfg = cfg.strategy
+        if sharded and is_mcmc:
+            # per-shard splat budget: each gauss shard runs MCMC relocation
+            # against its slice of the global cap
+            strat_cfg = dataclasses.replace(
+                strat_cfg, cap_max=strat_cfg.cap_max // n_gauss
+            )
 
         def color_input(params, app_params, camtoworlds, image_ids, step):
             """(colors, sh_degree) for rasterization: SH coefficients with
@@ -222,7 +358,7 @@ class Trainer:
                 ),
                 caps=caps, alive=alive,
                 means2d_dummy=dummy,
-                absgrad_dummy=dummy,
+                proj_transform=(gather_gauss if sharded else None),
             )
             return render, alpha, info
 
@@ -251,7 +387,8 @@ class Trainer:
                 ),
                 caps=caps, alive=alive,
                 means2d_dummy=dummies["m2d"],
-                absgrad_dummy=dummies["abs"],
+                absgrad_dummy=(dummies["abs"] if use_abs else None),
+                proj_transform=(gather_gauss if sharded else None),
             )
             rgb = render[..., 0:3]
             depth_r = render[..., 3:4]
@@ -281,22 +418,27 @@ class Trainer:
                 )
                 loss = loss + cfg.depth_lambda * dl
                 m["depthloss"] = dl
-            loss = loss + L.regularizers(
+            reg = L.regularizers(
                 params, alive, cfg.opacity_reg, cfg.scale_reg
             )
+            loss = loss + reg
             m["loss"] = loss
             aux = dict(
-                metrics=m, radii=info["radii"], n_isect=info["n_isect"],
-                overflow=info["overflow"],
+                metrics=m, radii=info["radii_local"], reg=reg,
+                n_isect=info["n_isect"], overflow=info["overflow"],
             )
             return loss, aux
 
         def train_step(state: TrainState, batch, key):
             step = state.step
             B = batch["camtoworld"].shape[0]
+            cap_local = state.params["means"].shape[0]
+            # m2d dummy is LOCAL-shard shaped (added before the gauss
+            # gather, so its cotangent is the shard's own means2d grads);
+            # abs dummy rides the composite and is full-capacity
             dummies = {
-                "m2d": jnp.zeros((B, self.capacity, 2)),
-                "abs": jnp.zeros((B, self.capacity, 2)),
+                "m2d": jnp.zeros((B, cap_local, 2)),
+                "abs": jnp.zeros((B, cap_local * n_gauss, 2)),
             }
             # zero placeholders keep value_and_grad happy when a module is
             # off (grads of None primals are not allowed)
@@ -318,13 +460,30 @@ class Trainer:
                 state.params, pose_in, bil_in, app_in, dummies, batch,
                 state.alive, step, key,
             )
-            # densification statistics (absgrad or plain grad per strategy)
-            use_abs = (
-                (not is_mcmc) and getattr(cfg.strategy, "absgrad", False)
-            )
+            # data-parallel gradient averaging (grad of the global camera
+            # mean; the gauss-axis psum_scatter already happened inside the
+            # all_gather transpose)
+            gp = pmean_data(gp)
+            gpose = pmean_data(gpose)
+            gbil = pmean_data(gbil)
+            gapp = pmean_data(gapp)
+            # densification statistics (absgrad or plain grad per strategy):
+            # per-camera norms taken LOCALLY, then the per-gaussian scalars
+            # summed over the data axis (summing raw 2-vectors across
+            # cameras before the norm would be the wrong statistic)
             stat_grad = gdum["abs"] if use_abs else gdum["m2d"]
-            strat = S.strategy_update(
-                state.strat, stat_grad, aux["radii"], W, H
+            if use_abs and sharded:
+                stat_grad = jax.lax.dynamic_slice_in_dim(
+                    stat_grad,
+                    jax.lax.axis_index("gauss") * cap_local,
+                    cap_local, axis=1,
+                )
+            delta = S.strategy_update(
+                S.strategy_init(cap_local), stat_grad, aux["radii"], W, H
+            )
+            strat = S.StrategyState(
+                grad2d=state.strat.grad2d + psum_data(delta.grad2d),
+                count=state.strat.count + psum_data(delta.count),
             )
 
             lrs = {
@@ -335,7 +494,8 @@ class Trainer:
             )
             visible = None
             if cfg.visible_adam:
-                visible = jnp.any(aux["radii"] > 0, axis=0)
+                vis_local = jnp.any(aux["radii"] > 0, axis=0)
+                visible = psum_data(vis_local.astype(jnp.int32)) > 0
             params, opt_state = opt.adam_update(
                 gp, state.opt_state, state.params, lrs,
                 b1=hp["b1"], b2=hp["b2"], eps=hp["eps"],
@@ -369,10 +529,11 @@ class Trainer:
                 )
                 pose_params = pp["pose"]
             if is_mcmc:
-                # SGLD noise injection every step (MCMC strategy)
+                # SGLD noise injection every step (MCMC strategy); per-shard
+                # key so shards draw independent noise
                 params = S.mcmc_noise(
-                    key, params, state.alive, lrs["means"],
-                    cfg.strategy.noise_lr,
+                    fold_gauss(key), params, state.alive, lrs["means"],
+                    strat_cfg.noise_lr,
                 )
             new_state = TrainState(
                 params=params, opt_state=opt_state, alive=state.alive,
@@ -383,25 +544,40 @@ class Trainer:
                 app_opt_state=app_opt_state,
             )
             metrics = dict(aux["metrics"])
-            metrics["n_isect"] = aux["n_isect"]
-            metrics["overflow"] = aux["overflow"]
+            # image terms are means over cameras (replicated along gauss);
+            # the regularizer is per-gauss-shard and sums across shards
+            metrics["loss"] = (
+                pmean_data(metrics["loss"] - aux["reg"])
+                + psum_gauss(aux["reg"])
+            )
+            for k in ("l1", "ssim", "depthloss"):
+                if k in metrics:
+                    metrics[k] = pmean_data(metrics[k])
+            metrics["n_isect"] = psum_data(aux["n_isect"])
+            metrics["overflow"] = (
+                psum_data(aux["overflow"].astype(jnp.int32)) > 0
+            )
             return new_state, metrics
 
         def refine_step(state: TrainState, key):
+            key = fold_gauss(key)  # per-shard densification choices
+            cap_local = state.alive.shape[0]
             if is_mcmc:
                 params, opt_state, alive, info = S.mcmc_refine(
                     key, state.params, state.opt_state, state.alive,
-                    cfg.strategy,
+                    strat_cfg,
                 )
+                info = {k: psum_gauss(v) for k, v in info.items()}
                 return state._replace(
                     params=params, opt_state=opt_state, alive=alive,
-                    strat=S.strategy_init(self.capacity),
+                    strat=S.strategy_init(cap_local),
                 ), info
             params, opt_state, alive, strat, info = S.default_refine(
                 key, state.params, state.opt_state, state.alive,
-                state.strat, state.step, cfg.strategy,
+                state.strat, state.step, strat_cfg,
                 self.scene.scene_scale,
             )
+            info = {k: psum_gauss(v) for k, v in info.items()}
             return state._replace(
                 params=params, opt_state=opt_state, alive=alive, strat=strat
             ), info
@@ -423,10 +599,50 @@ class Trainer:
             depth = render[..., 3:4] / jnp.clip(alpha, 1e-6, None)
             return rgb, alpha, depth
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._refine_step = jax.jit(refine_step, donate_argnums=(0,))
-        self._reset_step = jax.jit(reset_step, donate_argnums=(0,))
-        self._eval_render = jax.jit(eval_render)
+        if not sharded:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._refine_step = jax.jit(refine_step, donate_argnums=(0,))
+            self._reset_step = jax.jit(reset_step, donate_argnums=(0,))
+            self._eval_render = jax.jit(eval_render)
+            return
+
+        # ---- SPMD wrapping: the identical step functions under shard_map
+        # over the (data, gauss) mesh ----
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PSpec
+
+        state_spec = self._state_specs()
+        rep = PSpec()
+        _train_cache = {}
+
+        def train_dispatch(state, batch, key):
+            bkey = tuple(sorted(batch.keys()))
+            if bkey not in _train_cache:
+                bspec = {k: PSpec("data") for k in batch}
+                sm = shard_map(
+                    train_step, mesh=mesh,
+                    in_specs=(state_spec, bspec, rep),
+                    out_specs=(state_spec, rep), check_vma=False,
+                )
+                _train_cache[bkey] = jax.jit(sm, donate_argnums=(0,))
+            return _train_cache[bkey](state, batch, key)
+
+        self._train_step = train_dispatch
+        self._refine_step = jax.jit(
+            shard_map(refine_step, mesh=mesh, in_specs=(state_spec, rep),
+                      out_specs=(state_spec, rep), check_vma=False),
+            donate_argnums=(0,),
+        )
+        self._reset_step = jax.jit(
+            shard_map(reset_step, mesh=mesh, in_specs=(state_spec,),
+                      out_specs=state_spec, check_vma=False),
+            donate_argnums=(0,),
+        )
+        self._eval_render = jax.jit(
+            shard_map(eval_render, mesh=mesh,
+                      in_specs=(state_spec, rep, rep, rep),
+                      out_specs=(rep, rep, rep), check_vma=False)
+        )
 
     # ------------------------------------------------------------------
     def _batch(self, idx: np.ndarray) -> Dict[str, jax.Array]:
@@ -456,6 +672,7 @@ class Trainer:
         from splat_one_tpu.utils.tensorboard import SummaryWriter
 
         tb = SummaryWriter(os.path.join(self.result_dir, "tb"))
+        prev_overflow = None  # one-step-delayed so the check overlaps compute
         for step in range(int(self.state.step), cfg.max_steps):
             if stop_flag is not None and stop_flag():
                 break
@@ -468,6 +685,12 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, self._batch(idx), k1
             )
+            # intersection-capacity overflow -> grow caps + rebuild steps
+            # (same designed-recompile treatment as splat-capacity growth);
+            # checked one step late so the fetch overlaps this step's compute
+            if prev_overflow is not None and bool(prev_overflow):
+                self._grow_isect_caps()
+            prev_overflow = metrics.get("overflow")
             # densification schedule (gsplat step_post_backward semantics)
             if (
                 strat_cfg.refine_start_iter
@@ -553,19 +776,37 @@ class Trainer:
             strat=S.strategy_init(new_capacity),
         )
         self.capacity = new_capacity
-        self.caps = IsectCaps.choose(
-            new_capacity, self.cfg.batch_size,
-            _n_tiles(self.width, self.height, self.cfg.tile_size),
-            avg_tiles_per_gaussian=self.cfg.avg_tiles_per_gaussian,
-        )
+        self.caps = self._choose_caps(new_capacity)
+        if self.mesh is not None:
+            self._shard_state()
         self._build_steps()
 
     def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
-        """PSNR/SSIM over the validation split (reference Runner.eval,
-        :779-841); stats JSON under results/stats/."""
-        from splat_one_tpu.ops.ssim import ssim as ssim_fn
+        """PSNR/SSIM/LPIPS over the validation split (reference Runner.eval,
+        :779-841, which reports psnr/ssim/lpips + bilateral-corrected PSNR
+        :824-830); stats JSON under results/stats/.
 
-        psnrs, ssims, times = [], [], []
+        LPIPS is weight-gated (``models.lpips``): without a converted
+        checkpoint on disk the stat is reported as ``lpips: null`` rather
+        than silently substituting random-weight scores. With a bilateral
+        grid (or always, matching the reference's cc_psnr under
+        use_bilateral_grid), ``cc_psnr`` applies the per-channel quadratic
+        ``color_correct`` fit before PSNR."""
+        from splat_one_tpu.ops.ssim import ssim as ssim_fn
+        from splat_one_tpu.models import lpips as lpips_mod
+
+        lpips_params = lpips_mod.load_weights()
+        lpips_fn = (
+            jax.jit(lambda p, g: lpips_mod.lpips(lpips_params, p, g))
+            if lpips_params is not None else None
+        )
+        cc = self.cfg.use_bilateral_grid
+        if cc:
+            from splat_one_tpu.train import bilateral_grid as BG
+
+            cc_fn = jax.jit(lambda p, g: L.psnr(BG.color_correct(p, g), g))
+
+        psnrs, ssims, lpipss, cc_psnrs, times = [], [], [], [], []
         for i in self.val_idx:
             b = self._batch(np.array([i]))
             t0 = time.time()
@@ -576,12 +817,29 @@ class Trainer:
             times.append(time.time() - t0)
             psnrs.append(float(L.psnr(rgb, b["image"])))
             ssims.append(float(ssim_fn(rgb, b["image"])))
+            if lpips_fn is not None:
+                lpipss.append(float(lpips_fn(rgb, b["image"])))
+            if cc:
+                cc_psnrs.append(float(cc_fn(rgb[0], b["image"][0])))
         stats = {
             "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "lpips": float(np.mean(lpipss)) if lpipss else None,
             "ellipse_time": float(np.mean(times[1:])) if len(times) > 1 else 0.0,
             "num_GS": int(G.n_alive(self.state.alive)),
         }
+        if cc:
+            stats["cc_psnr"] = float(np.mean(cc_psnrs)) if cc_psnrs else 0.0
+        try:
+            from splat_one_tpu.utils.profiling import memory_stats
+
+            mem = memory_stats()
+            peaks = [v for k, v in mem.items() if k.endswith("peak_gib")]
+            if peaks:
+                # reference reports cuda max_memory_allocated in GB (:835)
+                stats["mem"] = max(peaks)
+        except Exception:
+            pass
         path = os.path.join(
             self.result_dir, "stats", f"{stage}_step{step:04d}.json"
         )
@@ -687,11 +945,7 @@ class Trainer:
         ckpt_capacity = int(alive.shape[0])
         if ckpt_capacity != self.capacity:
             self.capacity = ckpt_capacity
-            self.caps = IsectCaps.choose(
-                ckpt_capacity, self.cfg.batch_size,
-                _n_tiles(self.width, self.height, self.cfg.tile_size),
-                avg_tiles_per_gaussian=self.cfg.avg_tiles_per_gaussian,
-            )
+            self.caps = self._choose_caps(ckpt_capacity)
             self._build_steps()
 
     # ------------------------------------------------------------------

