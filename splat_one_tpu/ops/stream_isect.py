@@ -301,9 +301,14 @@ def build_stream_intersections(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_al)]
     )
 
-    n_slots = jnp.minimum(n_isect, EXP)
+    # kept-slot count: dropped slots (beyond n_isect, or outside the local
+    # supertile slab) carry sort key CS and land at the END of the sorted
+    # stream, so the post-sort validity mask is positional — masking by the
+    # PRE-sort slot_ok here would zero arbitrary interior slots.
+    n_slots = jnp.sum(slot_ok.astype(jnp.int32))
+    sorted_ok = slot_ids < n_slots
     return StreamIsect(
-        sorted_g=jnp.where(slot_ok, sorted_g, M0).astype(jnp.int32),
+        sorted_g=jnp.where(sorted_ok, sorted_g, M0).astype(jnp.int32),
         st_starts=st_starts,
         st_starts_al=st_starts_al,
         n_isect=n_isect,

@@ -72,6 +72,10 @@ class StreamCfg:
     term_thresh: float = 1e-5
     absgrad: bool = False  # reduce ABSDX/ABSDY rows (sort payloads cost)
     ss: int = SS  # tiles per supertile side
+    # override: local supertile-slab grid size for multi-chip supertile
+    # sharding (kernel grid spans only this device's slab; pixel coords
+    # come from the kernels' tile_offset)
+    cs_local: int = 0
 
     @property
     def nt(self):
@@ -95,7 +99,7 @@ class StreamCfg:
 
     @property
     def cs(self):
-        return self.num_cameras * self.sw * self.sh
+        return self.cs_local or self.num_cameras * self.sw * self.sh
 
     @property
     def npix(self):
@@ -104,11 +108,8 @@ class StreamCfg:
     @property
     def pad_cap(self):
         # bwd rows per supertile: ceil((start % G + count) / G) * G, which
-        # can exceed count by up to 2G-1
-        return (
-            self.exp_cap
-            + 2 * self.num_cameras * self.n_supertiles * self.chunk
-        )
+        # can exceed count by up to 2G-1 (cs = grid size = supertile count)
+        return self.exp_cap + 2 * self.cs * self.chunk
 
     @property
     def packed_rows(self):
