@@ -39,13 +39,16 @@ DEFAULT_WEIGHTS = os.environ.get(
 )
 
 
-def lpips_available(path: str = DEFAULT_WEIGHTS) -> bool:
-    return os.path.exists(path)
+def lpips_available(path: Optional[str] = None) -> bool:
+    return os.path.exists(path or DEFAULT_WEIGHTS)
 
 
-def load_weights(path: str = DEFAULT_WEIGHTS) -> Optional[Dict]:
+def load_weights(path: Optional[str] = None) -> Optional[Dict]:
     """Expected npz keys: conv{i}_w [kh,kw,cin,cout], conv{i}_b [cout],
-    lin{i}_w [1,1,c,1] (LPIPS linear heads)."""
+    lin{i}_w [1,1,c,1] (LPIPS linear heads); produced by
+    ``scripts/convert_weights.py lpips`` (activation-parity-tested against
+    the torch formulation in tests/test_weight_converters.py)."""
+    path = path or DEFAULT_WEIGHTS
     if not os.path.exists(path):
         return None
     z = np.load(path)
