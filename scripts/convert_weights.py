@@ -167,7 +167,19 @@ def convert_aliked(ckpt_path: str, out: str):
 
 
 # ----------------------------------------------------------------- sam2
+_SAM2_CONV_KEYS = (
+    "patch_embed.proj.weight", ".conv.weight", "conv_s0.weight",
+    "conv_s1.weight", "output_upscaling.0.weight",
+    "output_upscaling.3.weight", "mask_downscaling.0.weight",
+    "mask_downscaling.3.weight", "mask_downscaling.6.weight",
+)
+
+
 def convert_sam2(ckpt_path: str, out: str):
+    """SAM 2.1 checkpoint -> models.sam2_hiera schema: original key names;
+    conv weights OIHW->HWIO, pos embeds NCHW->NHWC, everything else
+    verbatim (ConvTranspose2d [cin,cout,kh,kw] -> [kh,kw,cout,cin], which
+    models.sam2_hiera._conv_transpose expects)."""
     import torch
 
     z = torch.load(ckpt_path, map_location="cpu")
@@ -175,8 +187,12 @@ def convert_sam2(ckpt_path: str, out: str):
     outp = {}
     for k, v in sd.items():
         a = _t(v)
-        if a.ndim == 4:
+        if a.ndim == 4 and any(k.endswith(c) for c in _SAM2_CONV_KEYS):
             a = a.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
+        elif a.ndim == 4 and "pos_embed" in k:
+            a = a.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+        elif a.ndim == 4 and "output_upscaling" in k:
+            a = a.transpose(2, 3, 1, 0)
         outp[k] = a
     np.savez(out, **outp)
     print(f"wrote {out} ({len(outp)} tensors)")

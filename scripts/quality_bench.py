@@ -1,0 +1,75 @@
+"""Quality benchmark: fit a garden-scale synthetic scene on the TPU.
+
+No real dataset ships in this environment (zero egress), so the benchmark
+trains against GT images rendered from a known gaussian scene — the
+optimum is achievable, making PSNR/SSIM a sharp measure of the
+trainer/rasterizer stack (densification, SH ramp, Adam schedules), and
+step throughput a real training-speed number at production-like shapes.
+
+Writes results JSON to results/quality_bench/stats/ and prints a summary
+line; BASELINE.md's "established" table records the outcome.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    width = int(os.environ.get("QB_W", 1280))
+    height = int(os.environ.get("QB_H", 720))
+    n_gauss = int(os.environ.get("QB_GT_GAUSS", 40_000))
+    steps = int(os.environ.get("QB_STEPS", 4000))
+    n_cams = int(os.environ.get("QB_CAMS", 24))
+
+    from splat_one_tpu.data.synthetic import make_synthetic_scene
+    from splat_one_tpu.train.config import Config
+    from splat_one_tpu.train.strategy import DefaultStrategyCfg
+    from splat_one_tpu.train.trainer import Trainer
+
+    t0 = time.time()
+    scene, _ = make_synthetic_scene(
+        n_gaussians=n_gauss, n_cameras=n_cams, width=width, height=height,
+        n_points=4000, seed=0,
+    )
+    print(f"scene built in {time.time() - t0:.1f}s "
+          f"({n_cams} cams @ {width}x{height})", flush=True)
+    cfg = Config(
+        max_steps=steps,
+        eval_steps=[steps // 2, steps],
+        save_steps=[steps],
+        sh_degree=3,
+        sh_degree_interval=max(steps // 8, 1),
+        batch_size=1,
+        test_every=8,
+        result_dir="results/quality_bench",
+        strategy=DefaultStrategyCfg(
+            refine_start_iter=steps // 8,
+            refine_stop_iter=steps // 2,
+            refine_every=max(steps // 30, 1),
+            reset_every=10 * steps,  # opacity reset off for short runs
+        ),
+    )
+    tr = Trainer(cfg, scene)
+    t1 = time.time()
+    hist = tr.train(log_every=max(steps // 20, 1))
+    dt = time.time() - t1
+    stats = tr.eval(steps, stage="final")
+    out = {
+        "width": width, "height": height, "gt_gaussians": n_gauss,
+        "steps": steps, "train_s": round(dt, 1),
+        "steps_per_s": round(steps / dt, 2),
+        "final_loss": hist[-1]["loss"] if hist else None,
+        "num_GS": stats["num_GS"],
+        "psnr": stats["psnr"], "ssim": stats["ssim"],
+    }
+    with open("results/quality_bench/stats/summary.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("QUALITY_BENCH " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

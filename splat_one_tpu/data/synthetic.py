@@ -91,18 +91,33 @@ def make_synthetic_scene(
         c2ws, Ks = ring_cameras(n_cameras, 3.0, -0.8, 60.0, width, height)
     sh0 = np.asarray(rgb_to_sh(jnp.asarray(rgb)))[:, None, :]
 
+    import jax
+
     viewmats = np.asarray(invert_se3(jnp.asarray(c2ws)))
+    # jit and render per-camera: eager dispatch is pathological over the
+    # TPU tunnel, and one-camera compiles are reused across the ring
     caps = IsectCaps.choose(
-        n_gaussians, n_cameras,
+        n_gaussians, 1,
         (-(-width // 16)) * (-(-height // 16)),
     )
-    render, alpha, _ = rasterization(
-        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-        jnp.asarray(opac), jnp.asarray(sh0), jnp.asarray(viewmats),
-        jnp.asarray(Ks), width, height, sh_degree=0,
-        camera_model=camera_model, caps=caps,
+
+    @jax.jit
+    def _render_one(vm, K):
+        render, _, _ = rasterization(
+            jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(sh0), vm[None], K[None],
+            width, height, sh_degree=0,
+            camera_model=camera_model, caps=caps,
+        )
+        return jnp.clip(render[0], 0.0, 1.0)
+
+    images = np.stack(
+        [
+            np.asarray(_render_one(jnp.asarray(viewmats[i]),
+                                   jnp.asarray(Ks[i])))
+            for i in range(n_cameras)
+        ]
     )
-    images = np.clip(np.asarray(render), 0.0, 1.0)
 
     # SfM-like init points: subsample GT means with color noise
     rng = np.random.default_rng(seed + 2)

@@ -107,11 +107,24 @@ class ClassicalPredictor:
         return mask[None], np.array([score]), None
 
 
-def build_predictor(checkpoint: Optional[str] = None):
+def build_predictor(checkpoint: Optional[str] = None,
+                    config: str = "hiera_l"):
     """Factory mirroring the reference's ``build_sam2(cfg, ckpt)`` +
-    predictor construction (mask_manager.py:89-90): returns the learned
-    predictor when a converted checkpoint exists, else the classical one."""
+    predictor construction (mask_manager.py:89-90).
+
+    A converted SAM 2.1 checkpoint (original key names — see
+    scripts/convert_weights.py sam2) selects the faithful
+    ``models.sam2_hiera.SAM2Predictor``; a legacy ``enc_*``/``dec_*`` npz
+    selects the simplified from-scratch net; else the classical
+    promptable region-grower."""
     if checkpoint and os.path.exists(checkpoint):
+        import numpy as np
+
+        keys = np.load(checkpoint).files
+        if any(k.startswith("image_encoder.trunk.") for k in keys):
+            from splat_one_tpu.models.sam2_hiera import SAM2Predictor
+
+            return SAM2Predictor(checkpoint, config=config)
         from splat_one_tpu.models.sam_tpu import HieraPredictor
 
         return HieraPredictor(checkpoint)

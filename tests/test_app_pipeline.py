@@ -60,6 +60,7 @@ def workdir(tmp_path_factory):
 
 
 class TestWorkdirPipeline:
+    @pytest.mark.slow
     def test_full_pipeline(self, workdir):
         wd, c2ws, Ks = workdir
         from splat_one_tpu.app import pipeline

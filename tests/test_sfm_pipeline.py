@@ -98,6 +98,7 @@ class TestPipeline:
         long = [t for t in tracks if len(t) == 4]
         assert len(long) > 50
 
+    @pytest.mark.slow
     def test_incremental_reconstruction(self):
         poses_gt, X, bearings, descs, valids = synth_multiview(8, 300)
         pairs = M.pairs_to_match(8)

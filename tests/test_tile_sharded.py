@@ -8,6 +8,7 @@ only the tile grid is partitioned), and gradients must psum back correctly.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from splat_one_tpu.ops.intersect import IsectCaps
@@ -24,6 +25,7 @@ def _mesh(n):
 
 
 class TestTileSharded:
+    @pytest.mark.slow
     def test_forward_parity(self):
         means, quats, scales, opac, sh, viewmats, Ks = make_scene(200)
         mesh = _mesh(4)  # 16 tiles / 4 devices
@@ -40,6 +42,7 @@ class TestTileSharded:
         np.testing.assert_allclose(a_s, alpha, atol=1e-5)
         np.testing.assert_allclose(d_s, render[..., 3:4], atol=1e-4)
 
+    @pytest.mark.slow
     def test_grad_parity(self, rng):
         means, quats, scales, opac, sh, viewmats, Ks = make_scene(120, seed=5)
         mesh = _mesh(4)
@@ -70,6 +73,7 @@ class TestTileSharded:
                 err_msg=name,
             )
 
+    @pytest.mark.slow
     def test_spherical_sharded(self):
         means, quats, scales, opac, sh, viewmats, Ks = make_scene(
             150, spherical=True

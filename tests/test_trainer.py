@@ -222,6 +222,7 @@ class TestTrainerExtras:
         assert "psnr" in stats
         assert int(tr2.state.step) == 3
 
+    @pytest.mark.slow
     def test_capacity_growth(self, scene, tmp_path):
         # tiny capacity + aggressive growth forces the recompile point
         cfg = small_cfg(
@@ -258,6 +259,7 @@ class TestShardedTrainer:
         )
         return Mesh(dev, ("data", "gauss"))
 
+    @pytest.mark.slow
     def test_sharded_matches_single(self, tmp_path):
         scene, _ = make_synthetic_scene(
             n_gaussians=300, n_cameras=8, width=48, height=48, n_points=150

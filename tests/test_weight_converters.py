@@ -135,3 +135,53 @@ def test_lpips_wired_into_eval(tmp_path, rng, monkeypatch):
         params, jnp.zeros((1, 32, 32, 3)), jnp.ones((1, 32, 32, 3))
     ))
     assert np.isfinite(v) and v > 0
+
+
+def test_sam2_structural_manifest(tmp_path):
+    """A checkpoint with the exact converted-SAM2.1 key names/shapes
+    (models.sam2_hiera.random_checkpoint is the manifest) runs the full
+    predictor end-to-end: encoder (Hiera trunk + FPN neck), prompt
+    encoder, and mask decoder with high-res skips."""
+    import numpy as np
+
+    from splat_one_tpu.models import sam2_hiera as sm
+
+    params = sm.random_checkpoint("hiera_s", seed=0)
+    path = tmp_path / "sam2_s.npz"
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+    pred = sm.SAM2Predictor(str(path), config="hiera_s", img_size=256)
+    img = (np.random.default_rng(0).uniform(size=(200, 300, 3)) * 255
+           ).astype(np.uint8)
+    pred.set_image(img)
+    masks, iou, logits = pred.predict(
+        point_coords=np.array([[150.0, 100.0], [30.0, 40.0]]),
+        point_labels=np.array([1, 0]),
+    )
+    assert masks.shape == (3, 200, 300)
+    assert iou.shape == (3,) and np.isfinite(iou).all()
+    assert np.isfinite(logits).all()
+
+
+def test_sam2_conv_transpose_matches_torch(rng):
+    """models.sam2_hiera._conv_transpose must reproduce torch's
+    ConvTranspose2d(k=2, s=2) given the converter's weight layout."""
+    import jax.numpy as jnp
+    import torch.nn.functional as TF
+
+    from splat_one_tpu.models.sam2_hiera import _conv_transpose
+
+    cin, cout = 8, 4
+    w = rng.normal(scale=0.3, size=(cin, cout, 2, 2)).astype(np.float32)
+    b = rng.normal(size=cout).astype(np.float32)
+    x = rng.normal(size=(2, 5, 7, cin)).astype(np.float32)
+    ref = TF.conv_transpose2d(
+        torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(w),
+        torch.tensor(b), stride=2,
+    ).numpy().transpose(0, 2, 3, 1)
+    p = {
+        # converter layout: torch [cin,cout,kh,kw] -> (2,3,1,0)
+        "u.weight": jnp.asarray(w.transpose(2, 3, 1, 0)),
+        "u.bias": jnp.asarray(b),
+    }
+    ours = np.asarray(_conv_transpose(p, "u", jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
