@@ -284,8 +284,14 @@ def to_scene_data(
     parser: Parser,
     test_every: int = 8,
     max_images: Optional[int] = None,
+    streaming: bool = False,
+    cache_images: int = 64,
 ):
-    """Load all images (undistorted) and build a trainer SceneData.
+    """Build a trainer SceneData; ``streaming=True`` keeps images on disk
+    behind a prefetching ``data.streaming.StreamingImages`` (native C++
+    decode pool when available) instead of one in-RAM ndarray — the
+    reference's DataLoader-worker role (gsplat_trainer.py:562-572) for
+    scenes whose image set exceeds host memory.
 
     All images must share one resolution (the reference datasets do after
     its resize step); heterogeneous sizes raise."""
@@ -294,16 +300,30 @@ def to_scene_data(
     n = len(parser.image_paths)
     if max_images:
         n = min(n, max_images)
-    imgs = []
-    for i in range(n):
-        img = load_image(parser.image_paths[i], parser.factor)
-        if np.any(np.abs(parser.dists[i]) > 1e-12):
-            img = undistort_image(img, parser.Ks[i], parser.dists[i])
-        imgs.append(img)
-    shapes = {im.shape for im in imgs}
-    if len(shapes) > 1:
-        raise ValueError(f"heterogeneous image sizes: {shapes}")
-    images = np.stack(imgs)
+    if streaming:
+        from PIL import Image as PILImage
+
+        from splat_one_tpu.data.streaming import StreamingImages
+
+        with PILImage.open(parser.image_paths[0]) as im0:
+            w0, h0 = im0.width, im0.height
+        w0, h0 = w0 // parser.factor, h0 // parser.factor
+        images = StreamingImages(
+            parser.image_paths[:n], w0, h0,
+            Ks=parser.Ks[:n], dists=parser.dists[:n],
+            cache_images=cache_images,
+        )
+    else:
+        imgs = []
+        for i in range(n):
+            img = load_image(parser.image_paths[i], parser.factor)
+            if np.any(np.abs(parser.dists[i]) > 1e-12):
+                img = undistort_image(img, parser.Ks[i], parser.dists[i])
+            imgs.append(img)
+        shapes = {im.shape for im in imgs}
+        if len(shapes) > 1:
+            raise ValueError(f"heterogeneous image sizes: {shapes}")
+        images = np.stack(imgs)
     camera_model = (
         "spherical"
         if parser.camera_models and parser.camera_models[0] == "spherical"

@@ -673,18 +673,31 @@ class Trainer:
 
         tb = SummaryWriter(os.path.join(self.result_dir, "tb"))
         prev_overflow = None  # one-step-delayed so the check overlaps compute
-        for step in range(int(self.state.step), cfg.max_steps):
-            if stop_flag is not None and stop_flag():
-                break
+
+        def draw_idx():
+            nonlocal perm, pos
             if pos + cfg.batch_size > len(perm):
                 perm = rng.permutation(self.train_idx)
                 pos = 0
-            idx = perm[pos:pos + cfg.batch_size]
+            out = perm[pos:pos + cfg.batch_size]
             pos += cfg.batch_size
+            return out
+
+        streaming = hasattr(self.scene.images, "prefetch")
+        idx = draw_idx()
+        for step in range(int(self.state.step), cfg.max_steps):
+            if stop_flag is not None and stop_flag():
+                break
             self.key, k1, k2 = jax.random.split(self.key, 3)
             self.state, metrics = self._train_step(
                 self.state, self._batch(idx), k1
             )
+            # double-buffering: decode the NEXT batch on host threads while
+            # this step runs on device (reference DataLoader semantics,
+            # gsplat_trainer.py:562-572)
+            idx = draw_idx()
+            if streaming:
+                self.scene.images.prefetch(idx)
             # intersection-capacity overflow -> grow caps + rebuild steps
             # (same designed-recompile treatment as splat-capacity growth);
             # checked one step late so the fetch overlaps this step's compute
