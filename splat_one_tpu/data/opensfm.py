@@ -90,24 +90,53 @@ def latlon_to_utm(lat: float, lon: float):
     return easting, northing, zone
 
 
-def undistort_image(
-    img: np.ndarray, K: np.ndarray, dist: np.ndarray
-) -> np.ndarray:
-    """Pure-numpy k1/k2 radial undistortion (bilinear inverse remap) —
-    replaces the reference's cv2.initUndistortRectifyMap path
-    (opensfm.py:246-278)."""
-    k1, k2 = float(dist[0]), float(dist[1])
-    if abs(k1) < 1e-12 and abs(k2) < 1e-12:
-        return img
-    H, W = img.shape[:2]
+def undistort_maps(
+    K: np.ndarray, dist: np.ndarray, width: int, height: int,
+    camera_type: str = "perspective",
+):
+    """Inverse remap coordinates (xs, ys) + validity mask for
+    undistortion — the reference's cv2.initUndistortRectifyMap /
+    fisheye.initUndistortRectifyMap analog with an explicit mask
+    (opensfm.py:246-298).
+
+    ``perspective``: Brown radial k1/k2 (forward distortion applied to the
+    ideal coords — exact inverse remap). ``fisheye``: equidistant model
+    with theta-polynomial k1..k4 (OpenCV fisheye convention): the
+    undistorted ideal ray at radius r maps to distorted radius
+    theta_d = theta (1 + k1 th^2 + k2 th^4 + k3 th^6 + k4 th^8),
+    theta = atan(r). The mask marks pixels whose source lands outside the
+    distorted image (the reference masks these after remap)."""
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    u, v = np.meshgrid(np.arange(width), np.arange(height))
     x = (u - cx) / fx
     y = (v - cy) / fy
-    r2 = x * x + y * y
-    d = 1.0 + r2 * (k1 + k2 * r2)
-    xs = x * d * fx + cx
-    ys = y * d * fy + cy
+    if camera_type == "fisheye":
+        k = np.zeros(4)
+        k[: min(len(dist), 4)] = np.asarray(dist[:4], np.float64)
+        r = np.sqrt(x * x + y * y)
+        theta = np.arctan(r)
+        th2 = theta * theta
+        theta_d = theta * (
+            1.0 + th2 * (k[0] + th2 * (k[1] + th2 * (k[2] + th2 * k[3])))
+        )
+        scale = np.where(r > 1e-9, theta_d / np.maximum(r, 1e-9), 1.0)
+        xs = x * scale * fx + cx
+        ys = y * scale * fy + cy
+    else:
+        k1 = float(dist[0]) if len(dist) > 0 else 0.0
+        k2 = float(dist[1]) if len(dist) > 1 else 0.0
+        r2 = x * x + y * y
+        d = 1.0 + r2 * (k1 + k2 * r2)
+        xs = x * d * fx + cx
+        ys = y * d * fy + cy
+    valid = (xs >= 0) & (xs < width - 1) & (ys >= 0) & (ys < height - 1)
+    return xs, ys, valid
+
+
+def remap_bilinear(img: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                   valid: np.ndarray) -> np.ndarray:
+    """Bilinear inverse remap; invalid pixels -> 0."""
+    H, W = img.shape[:2]
     x0 = np.clip(np.floor(xs).astype(np.int32), 0, W - 2)
     y0 = np.clip(np.floor(ys).astype(np.int32), 0, H - 2)
     wx = np.clip(xs - x0, 0, 1)[..., None]
@@ -119,9 +148,22 @@ def undistort_image(
         + im[y0 + 1, x0] * (1 - wx) * wy
         + im[y0 + 1, x0 + 1] * wx * wy
     )
-    inside = (xs >= 0) & (xs < W - 1) & (ys >= 0) & (ys < H - 1)
-    out[~inside] = 0
+    out[~valid] = 0
     return out.astype(img.dtype)
+
+
+def undistort_image(
+    img: np.ndarray, K: np.ndarray, dist: np.ndarray,
+    camera_type: str = "perspective",
+) -> np.ndarray:
+    """Pure-numpy undistortion (bilinear inverse remap) — replaces the
+    reference's cv2.initUndistortRectifyMap path (opensfm.py:246-298).
+    Supports Brown radial (k1/k2) and fisheye theta-polynomial models."""
+    if camera_type != "fisheye" and np.all(np.abs(dist[:2]) < 1e-12):
+        return img
+    H, W = img.shape[:2]
+    xs, ys, valid = undistort_maps(K, dist, W, H, camera_type)
+    return remap_bilinear(img, xs, ys, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +176,8 @@ class Parser:
 
     Attributes: ``camtoworlds [M,4,4]``, ``Ks [M,3,3]``, ``image_names``,
     ``image_paths``, ``camera_models`` (per image: 'pinhole'|'spherical'),
-    ``dists [M,2]`` (k1, k2), ``points [P,3]``, ``points_rgb [P,3] uint8``,
+    ``dists [M,4]`` (k1..k4; radial or fisheye theta-poly), ``points
+    [P,3]``, ``points_rgb [P,3] uint8``,
     ``scene_scale``, ``transform [4,4]``.
     """
 
@@ -184,6 +227,21 @@ class Parser:
                         model="spherical", K=np.eye(3), dist=np.zeros(2),
                         width=W, height=H,
                     )
+                elif ptype in ("fisheye", "fisheye_opencv", "fisheye62"):
+                    focal = c.get("focal", c.get("focal_x", 0.85))
+                    f = focal * max(W, H)
+                    K = np.array(
+                        [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]],
+                        np.float64,
+                    )
+                    cams[cname] = dict(
+                        model="fisheye", K=K,
+                        dist=np.array([
+                            c.get("k1", 0.0), c.get("k2", 0.0),
+                            c.get("k3", 0.0), c.get("k4", 0.0),
+                        ]),
+                        width=W, height=H,
+                    )
                 else:  # perspective / brown -> pinhole + k1,k2
                     focal = c.get("focal", c.get("focal_x", 0.85))
                     f = focal * max(W, H)
@@ -213,7 +271,9 @@ class Parser:
                 Ks.append(cam["K"])
                 names.append(shot_name)
                 models.append(cam["model"])
-                dists.append(cam["dist"])
+                d = np.zeros(4)
+                d[: len(cam["dist"])] = cam["dist"]
+                dists.append(d)
                 widths.append(cam["width"])
                 heights.append(cam["height"])
             for p in rec.get("points", {}).values():
@@ -317,8 +377,16 @@ def to_scene_data(
         imgs = []
         for i in range(n):
             img = load_image(parser.image_paths[i], parser.factor)
-            if np.any(np.abs(parser.dists[i]) > 1e-12):
-                img = undistort_image(img, parser.Ks[i], parser.dists[i])
+            ctype = (
+                "fisheye"
+                if parser.camera_models[i] == "fisheye" else "perspective"
+            )
+            if ctype == "fisheye" or np.any(
+                np.abs(parser.dists[i]) > 1e-12
+            ):
+                img = undistort_image(
+                    img, parser.Ks[i], parser.dists[i], camera_type=ctype
+                )
             imgs.append(img)
         shapes = {im.shape for im in imgs}
         if len(shapes) > 1:

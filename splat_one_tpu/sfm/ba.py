@@ -160,6 +160,9 @@ def bundle_adjust(
     points: jax.Array,  # [P, 3]
     problem: BAProblem,
     cfg: BAConfig = BAConfig(),
+    fixed_cams: jax.Array = None,  # [C] bool: frozen cameras (their
+    # observations still constrain points — the windowed local-BA
+    # boundary condition, reference config.yaml:117-124)
 ):
     """Run LM; returns (cams, points, info dict)."""
     C = cams.shape[0]
@@ -168,6 +171,8 @@ def bundle_adjust(
     fix_mask = jnp.ones((C, 1))
     if cfg.fix_first_camera:
         fix_mask = fix_mask.at[0].set(0.0)
+    if fixed_cams is not None:
+        fix_mask = fix_mask * (1.0 - fixed_cams.astype(jnp.float32)[:, None])
 
     def linearize(cams, points):
         ce = cams[problem.cam_idx]  # [E, 6]

@@ -31,6 +31,67 @@ def _essential_8pt(b1: jax.Array, b2: jax.Array) -> jax.Array:
     return u @ jnp.diag(s_fix) @ vt2
 
 
+def _essential_5pt_candidates(b1: jax.Array, b2: jax.Array,
+                              n_starts: int = 16) -> jax.Array:
+    """Minimal 5-point essential solver, TPU-shaped: [n_starts, 3, 3]
+    candidate matrices (the RANSAC scores them all, as it scores Nister's
+    <= 10 polynomial roots).
+
+    Classic Nister reduces the problem to a degree-10 polynomial whose
+    roots come from an eigendecomposition — unsupported on TPU. Here the
+    4-dim nullspace E(a) = a @ basis (from the 5x9 SVD) is searched by
+    multistart RIEMANNIAN Gauss-Newton on the Demazure constraints
+    (det(E) = 0 and 2 E E^T E - tr(E E^T) E = 0, 10 cubic residuals) over
+    the unit 3-sphere of coefficients: the constraints are homogeneous, so
+    the step is solved in the tangent space of the sphere (a plain GN step
+    mostly shrinks the scale and stalls). Every converged start is
+    projected to the essential manifold and returned. Unlike the linear
+    8-point estimate, the minimal solver stays well-posed for planar
+    scenes (config.yaml:79-90 five-point analog)."""
+    A = jnp.einsum("ni,nj->nij", b2, b1).reshape(-1, 9)  # [5, 9]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    basis = vt[5:9]  # [4, 9] nullspace
+
+    def constraints(a):
+        E = (a @ basis).reshape(3, 3)
+        EEt = E @ E.T
+        M = 2.0 * EEt @ E - jnp.trace(EEt) * E
+        return jnp.concatenate(
+            [M.reshape(9), jnp.linalg.det(E)[None]]
+        )  # [10]
+
+    def gn(a0):
+        def body(_, a):
+            r = constraints(a)
+            J = jax.jacfwd(constraints)(a)  # [10, 4]
+            # tangent basis of S^3 at a (right-singular vectors 2..4 of a^T)
+            _, _, vt_a = jnp.linalg.svd(a[None, :], full_matrices=True)
+            T = vt_a[1:4].T  # [4, 3] orthonormal, perpendicular to a
+            Jt = J @ T  # [10, 3]
+            step = jnp.linalg.solve(
+                Jt.T @ Jt + 1e-10 * jnp.eye(3), Jt.T @ r
+            )
+            a = a - T @ step
+            return a / jnp.maximum(jnp.linalg.norm(a), 1e-12)
+        return jax.lax.fori_loop(0, 20, body, a0)
+
+    # deterministic quasi-uniform starts on S^3 (no RNG plumbing needed)
+    i = jnp.arange(n_starts, dtype=jnp.float32)[:, None]
+    seeds = jnp.sin(
+        (i + 1.0) * jnp.array([[1.0, 2.1, 3.3, 4.7]]) * 1.6180339
+    )
+    seeds = seeds / jnp.linalg.norm(seeds, axis=-1, keepdims=True)
+    sols = jax.vmap(gn)(seeds)  # [S, 4]
+    Es = (sols @ basis).reshape(-1, 3, 3)  # [S, 3, 3]
+
+    def project(E):
+        u, s, vt2 = jnp.linalg.svd(E)
+        s_fix = jnp.array([1.0, 1.0, 0.0], E.dtype) * (s[0] + s[1]) / 2.0
+        return u @ jnp.diag(s_fix) @ vt2
+
+    return jax.vmap(project)(Es)
+
+
 def _epipolar_angle_error(E: jax.Array, b1: jax.Array, b2: jax.Array):
     """Angular epipolar error (OpenSfM-style): sine of the angle between b2
     and the epipolar plane of b1 (symmetric)."""
@@ -48,7 +109,7 @@ class RansacResult(NamedTuple):
     n_inliers: jax.Array  # []
 
 
-@partial(jax.jit, static_argnames=("n_hyp",))
+@partial(jax.jit, static_argnames=("n_hyp", "solver"))
 def ransac_essential(
     key: jax.Array,
     b1: jax.Array,  # [n, 3] unit bearings in camera 1
@@ -57,15 +118,22 @@ def ransac_essential(
     threshold: float = 0.004,  # sine-angle threshold (config.yaml
     # robust_matching_threshold analog)
     n_hyp: int = 256,
+    solver: str = "5pt",  # "5pt" (minimal, planar-safe) | "8pt" (linear)
 ) -> RansacResult:
-    """Fully-batched RANSAC: n_hyp 8-point hypotheses evaluated at once."""
+    """Fully-batched RANSAC: n_hyp minimal/linear hypotheses at once."""
     n = b1.shape[0]
-    # sample 8 correspondences per hypothesis, biased to valid ones
+    n_sample = 5 if solver == "5pt" else 8
+    # sample correspondences per hypothesis, biased to valid ones
     logits = jnp.where(valid, 0.0, -1e9)
-    idx = jax.random.categorical(key, logits, shape=(n_hyp, 8))
-    s1 = b1[idx]  # [hyp, 8, 3]
+    idx = jax.random.categorical(key, logits, shape=(n_hyp, n_sample))
+    s1 = b1[idx]  # [hyp, n_sample, 3]
     s2 = b2[idx]
-    Es = jax.vmap(_essential_8pt)(s1, s2)  # [hyp, 3, 3]
+    if solver == "5pt":
+        # every converged start is a candidate (the analog of scoring all
+        # of Nister's polynomial roots); flatten into the hypothesis axis
+        Es = jax.vmap(_essential_5pt_candidates)(s1, s2).reshape(-1, 3, 3)
+    else:
+        Es = jax.vmap(_essential_8pt)(s1, s2)  # [hyp, 3, 3]
     errs = jax.vmap(lambda E: _epipolar_angle_error(E, b1, b2))(Es)
     inl = (errs < threshold) & valid[None, :]
     scores = jnp.sum(inl, axis=-1)

@@ -36,6 +36,13 @@ class ReconstructConfig:
     bundle_max_iterations: int = 12  # config.yaml:115 analog
     outlier_threshold: float = 0.01  # angular reprojection
     min_parallax_deg: float = 2.0  # init-pair parallax requirement
+    # windowed local BA after each resection (config.yaml:117-124
+    # local_bundle_radius): the new camera + its most covisible registered
+    # neighbours move; boundary cameras observing the same points stay
+    # fixed but constrain
+    local_bundle_enabled: bool = True
+    local_bundle_radius: int = 8  # movable covisible neighbours
+    local_bundle_max_iterations: int = 6
 
 
 @dataclasses.dataclass
@@ -192,16 +199,50 @@ def incremental_reconstruct(
         {"init_pair": (i0, j0), "init_points": len(points)}
     )
 
-    def run_bundle():
+    def run_bundle(local_img=None):
+        """Global BA, or (with ``local_img``) windowed local BA: the new
+        camera + its ``local_bundle_radius`` most covisible registered
+        neighbours move; other cameras observing the window's points are
+        included FIXED as boundary constraints."""
         nonlocal poses, points
-        img_list = sorted(poses)
-        pt_list = sorted(points)
+        if local_img is None:
+            img_list = sorted(poses)
+            pt_list = sorted(points)
+            fixed = None
+        else:
+            covis: Dict[int, int] = {}
+            local_tids = [
+                tid for tid, _ in obs_of_image[local_img] if tid in points
+            ]
+            for tid in local_tids:
+                for im in tracks[tid]:
+                    if im in poses and im != local_img:
+                        covis[im] = covis.get(im, 0) + 1
+            movable = {local_img} | set(
+                sorted(covis, key=covis.get, reverse=True)
+                [: cfg.local_bundle_radius]
+            )
+            pt_set = set()
+            for im in movable:
+                for tid, _ in obs_of_image[im]:
+                    if tid in points:
+                        pt_set.add(tid)
+            pt_list = sorted(pt_set)
+            img_set = set()
+            for tid in pt_list:
+                for im in tracks[tid]:
+                    if im in poses:
+                        img_set.add(im)
+            img_list = sorted(img_set)
+            fixed = np.array(
+                [im not in movable for im in img_list], bool
+            )
         img_of = {im: a for a, im in enumerate(img_list)}
         pt_of = {p: a for a, p in enumerate(pt_list)}
         ci, pi, bs = [], [], []
         for tid in pt_list:
             for img, feat in tracks[tid].items():
-                if img in poses:
+                if img in img_of:
                     ci.append(img_of[img])
                     pi.append(pt_of[tid])
                     bs.append(bearings[img][feat])
@@ -222,9 +263,22 @@ def incremental_reconstruct(
         )
         cams = jnp.asarray(np.stack([poses[im] for im in img_list]))
         pts = jnp.asarray(np.stack([points[p] for p in pt_list]))
+        is_local = local_img is not None
         cams, pts, info = ba_mod.bundle_adjust(
             cams, pts, problem,
-            ba_mod.BAConfig(max_iterations=cfg.bundle_max_iterations),
+            ba_mod.BAConfig(
+                max_iterations=(
+                    cfg.local_bundle_max_iterations
+                    if is_local else cfg.bundle_max_iterations
+                ),
+                # gauge: global BA pins the first camera; a local window is
+                # anchored by its fixed boundary cameras (or falls back to
+                # pinning when the window has no boundary)
+                fix_first_camera=(
+                    not is_local or fixed is None or not fixed.any()
+                ),
+            ),
+            fixed_cams=None if fixed is None else jnp.asarray(fixed),
         )
         cams = np.asarray(cams)
         pts = np.asarray(pts)
@@ -232,6 +286,12 @@ def incremental_reconstruct(
             poses[im] = cams[a]
         for a, p in enumerate(pt_list):
             points[p] = pts[a]
+        if is_local:
+            report["steps"].append(
+                {"local_bundle": local_img, "window": len(img_list),
+                 "cost": float(info["final_cost"])}
+            )
+            return
         # outlier filtering (config.yaml bundle_outlier_* analog)
         removed = 0
         for tid in list(points.keys()):
@@ -318,6 +378,8 @@ def incremental_reconstruct(
             ):
                 points[tid] = Xp.astype(np.float32)
                 n_new += 1
+        if cfg.local_bundle_enabled:
+            run_bundle(local_img=img)
         since_bundle += 1
         if since_bundle >= cfg.bundle_interval:
             run_bundle()
@@ -362,3 +424,60 @@ def incremental_reconstruct(
     report["n_images"] = len(poses)
     report["n_points"] = len(points)
     return Reconstruction(poses, points, report)
+
+
+def align_reconstruction_to_gps(
+    rec: Reconstruction,
+    gps_positions: Dict[int, np.ndarray],  # image -> [3] topocentric m
+) -> Tuple[Reconstruction, Dict]:
+    """Similarity-align the reconstruction to GPS camera positions
+    (reference align_method/GPS alignment, config/config.yaml:129-134):
+    Umeyama fit of s R c_i + t to the GPS targets over images with both a
+    pose and a GPS fix, applied to all poses and points."""
+    common = [im for im in rec.poses if im in gps_positions]
+    if len(common) < 3:
+        return rec, {"aligned": False, "n_gps": len(common)}
+    centers = []
+    for im in common:
+        pose = rec.poses[im]
+        R = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        centers.append(-R.T @ pose[3:])
+    A = np.stack(centers)  # source (reconstruction frame)
+    B = np.stack([np.asarray(gps_positions[im], np.float64)
+                  for im in common])
+    mu_a, mu_b = A.mean(0), B.mean(0)
+    Ac, Bc = A - mu_a, B - mu_b
+    cov = Bc.T @ Ac / len(common)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R_sim = U @ S @ Vt
+    var_a = (Ac ** 2).sum() / len(common)
+    s = float(np.trace(np.diag(D) @ S) / max(var_a, 1e-12))
+    t_sim = mu_b - s * R_sim @ mu_a
+    # apply: world' = s R_sim world + t_sim; cam pose (Rc, tc) maps
+    # world->cam, so Rc' = Rc R_sim^T, tc' = tc - Rc' (t_sim) / ... solve:
+    # x_cam = Rc x + tc = Rc ((world' - t_sim)/s R_sim^{-T}) ...
+    poses_out = {}
+    for im, pose in rec.poses.items():
+        Rc = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        c = -Rc.T @ pose[3:]
+        c_new = s * R_sim @ c + t_sim
+        Rc_new = Rc @ R_sim.T
+        t_new = -Rc_new @ c_new
+        poses_out[im] = np.concatenate(
+            [_rvec_from_R(Rc_new), t_new]
+        ).astype(np.float32)
+    points_out = {
+        tid: (s * R_sim @ X + t_sim).astype(np.float32)
+        for tid, X in rec.points.items()
+    }
+    resid = float(np.sqrt(np.mean(
+        np.sum((s * (A @ R_sim.T) + t_sim - B) ** 2, axis=1)
+    )))
+    info = {"aligned": True, "scale": s, "rmse_m": resid,
+            "n_gps": len(common)}
+    rec_out = Reconstruction(poses_out, points_out,
+                             {**rec.report, "gps_alignment": info})
+    return rec_out, info

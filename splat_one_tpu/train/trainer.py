@@ -255,12 +255,20 @@ class Trainer:
             avg_tiles_per_gaussian=mult,
         )
 
-    def _grow_isect_caps(self):
+    def _grow_isect_caps(self, n_isect: float = None):
         """React to intersection-capacity overflow: raise the per-gaussian
-        intersection budget 1.5x and rebuild the jitted steps. Without this
-        an overflowing scene silently truncates intersections (wrong
-        gradients) for the rest of the run."""
-        self._isect_mult *= 1.5
+        intersection budget and rebuild the jitted steps. Without this an
+        overflowing scene silently truncates intersections (wrong
+        gradients) for the rest of the run. When the measured ``n_isect``
+        is known, size the budget directly from it (one recompile instead
+        of a geometric-growth recompile ladder)."""
+        need = 1.5 * self._isect_mult
+        if n_isect:
+            need = max(
+                need,
+                1.3 * float(n_isect) / (self.cfg.batch_size * self.capacity),
+            )
+        self._isect_mult = need
         self.caps = self._choose_caps(self.capacity)
         self._build_steps()
 
@@ -701,9 +709,11 @@ class Trainer:
             # intersection-capacity overflow -> grow caps + rebuild steps
             # (same designed-recompile treatment as splat-capacity growth);
             # checked one step late so the fetch overlaps this step's compute
-            if prev_overflow is not None and bool(prev_overflow):
-                self._grow_isect_caps()
-            prev_overflow = metrics.get("overflow")
+            if prev_overflow is not None and bool(prev_overflow[0]):
+                self._grow_isect_caps(float(prev_overflow[1]))
+            prev_overflow = (
+                metrics.get("overflow"), metrics.get("n_isect", 0)
+            )
             # densification schedule (gsplat step_post_backward semantics)
             if (
                 strat_cfg.refine_start_iter

@@ -282,3 +282,97 @@ class TestDepthSupervision:
         maps = DS.depth_maps_from_tracks(tracks, points, c2ws, Ks, 64, 64)
         assert maps.shape == (2, 64, 64, 1)
         assert (maps[0] > 0).sum() == 2  # tracks 0 (pt 0) and 1 (pt 1 missing -> only pt0? track1 has pt id 1)
+
+
+class TestFisheyeUndistort:
+    def test_fisheye_maps_identity_at_center(self):
+        import numpy as np
+
+        from splat_one_tpu.data.opensfm import undistort_maps
+
+        K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+        xs, ys, valid = undistort_maps(
+            K, np.array([0.05, -0.01, 0.0, 0.0]), 128, 96, "fisheye"
+        )
+        # principal point maps to itself
+        assert abs(xs[48, 64] - 64) < 0.5 and abs(ys[48, 64] - 48) < 0.5
+        # fisheye compresses the periphery: source radius < dest radius
+        r_dst = np.hypot(120 - 64, 90 - 48)
+        r_src = np.hypot(xs[90, 120] - 64, ys[90, 120] - 48)
+        assert r_src < r_dst
+        assert valid[48, 64] and valid.mean() > 0.5
+
+    def test_fisheye_roundtrip_distort(self):
+        """Remap of a synthetic distorted image restores straight-line
+        structure: the undistorted image of a distorted vertical edge is
+        (near) vertical again."""
+        import numpy as np
+
+        from splat_one_tpu.data.opensfm import undistort_image
+
+        H, W = 96, 128
+        K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]])
+        k = np.array([-0.08, 0.004, 0.0, 0.0])
+        # build the distorted image by forward-sampling a vertical-stripe
+        # pattern through the same model the undistorter inverts
+        from splat_one_tpu.data.opensfm import undistort_maps
+
+        xs, ys, valid = undistort_maps(K, k, W, H, "fisheye")
+        pattern = np.zeros((H, W, 3), np.float32)
+        pattern[:, (np.arange(W) // 8) % 2 == 0] = 1.0
+        # distorted image: dist(x) holds pattern at undistorted coords
+        # (xs, ys map undistorted -> distorted, so fill by scatter)
+        dist_img = np.zeros((H, W, 3), np.float32)
+        xi = np.clip(np.round(xs).astype(int), 0, W - 1)
+        yi = np.clip(np.round(ys).astype(int), 0, H - 1)
+        dist_img[yi, xi] = pattern
+        und = undistort_image(dist_img, K, k, camera_type="fisheye")
+        # stripes should re-align vertically: column-wise variance of the
+        # recovered pattern is high where stripes exist, and rows agree
+        mid = und[H // 2 - 10: H // 2 + 10, :, 0]
+        agree = (np.abs(mid - mid.mean(axis=0, keepdims=True)) < 0.45).mean()
+        assert agree > 0.7
+
+
+class TestGpsAlignment:
+    def test_umeyama_alignment(self, rng):
+        import numpy as np
+
+        from splat_one_tpu.sfm.ba import _rodrigues
+        from splat_one_tpu.sfm.reconstruct import (
+            Reconstruction, align_reconstruction_to_gps, _rvec_from_R,
+        )
+        import jax.numpy as jnp
+
+        # ground-truth similarity
+        s_gt = 2.5
+        ang = 0.4
+        R_gt = np.array([
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        t_gt = np.array([10.0, -4.0, 2.0])
+        poses, gps = {}, {}
+        pts = {}
+        for i in range(6):
+            c = rng.normal(size=3)
+            Rc = np.eye(3)
+            poses[i] = np.concatenate(
+                [_rvec_from_R(Rc), -Rc @ c]).astype(np.float32)
+            gps[i] = s_gt * R_gt @ c + t_gt + rng.normal(0, 1e-3, 3)
+        for j in range(10):
+            pts[j] = rng.normal(size=3).astype(np.float32)
+        rec = Reconstruction(poses, pts, {})
+        rec2, info = align_reconstruction_to_gps(rec, gps)
+        assert info["aligned"] and info["rmse_m"] < 0.01
+        assert abs(info["scale"] - s_gt) < 0.01
+        # camera centers now match GPS
+        for i in range(6):
+            pose = rec2.poses[i]
+            Rc = np.asarray(_rodrigues(jnp.asarray(pose[:3])))
+            c = -Rc.T @ pose[3:]
+            assert np.linalg.norm(c - gps[i]) < 0.02
+        # points transformed consistently
+        X0 = rec.points[0]
+        np.testing.assert_allclose(
+            rec2.points[0], s_gt * R_gt @ X0 + t_gt, rtol=1e-3, atol=2e-3
+        )

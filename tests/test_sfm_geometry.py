@@ -184,3 +184,69 @@ class TestBundleAdjust:
         )
         err_lin = np.abs(np.asarray(cams_lin)[1:] - cams_gt[1:]).max()
         assert err1 < err_lin
+
+
+class TestFivePoint:
+    """Minimal 5-point solver: must recover relative pose where the linear
+    8-point solver is degenerate (all points on one plane) and match it on
+    general scenes (reference config surface config/config.yaml:79-90)."""
+
+    def _two_view(self, rng, planar: bool, n=60, noise=0.0):
+        import numpy as np
+
+        if planar:
+            pts = np.stack(
+                [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                 np.full(n, 4.0)], axis=1)
+        else:
+            pts = np.stack(
+                [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                 rng.uniform(3, 6, n)], axis=1)
+        ang = 0.15
+        R = np.array([
+            [np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+            [-np.sin(ang), 0, np.cos(ang)]])
+        t = np.array([0.6, 0.1, 0.05])
+        p1 = pts
+        p2 = pts @ R.T + t
+        b1 = p1 / np.linalg.norm(p1, axis=1, keepdims=True)
+        b2 = p2 / np.linalg.norm(p2, axis=1, keepdims=True)
+        if noise:
+            b1 = b1 + rng.normal(0, noise, b1.shape)
+            b2 = b2 + rng.normal(0, noise, b2.shape)
+            b1 /= np.linalg.norm(b1, axis=1, keepdims=True)
+            b2 /= np.linalg.norm(b2, axis=1, keepdims=True)
+        return b1.astype(np.float32), b2.astype(np.float32), R, t
+
+    def _pose_err(self, E, b1, b2, R_gt, t_gt):
+        import numpy as np
+
+        R, t, _ = geo.decompose_essential(
+            jnp.asarray(E), jnp.asarray(b1), jnp.asarray(b2),
+            jnp.ones(len(b1), bool))
+        R, t = np.asarray(R), np.asarray(t)
+        ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2,
+                                           -1, 1)))
+        tdir = t / np.linalg.norm(t)
+        gdir = t_gt / np.linalg.norm(t_gt)
+        terr = np.degrees(np.arccos(np.clip(abs(tdir @ gdir), -1, 1)))
+        return ang, terr
+
+    def test_planar_scene(self, rng):
+        b1, b2, R_gt, t_gt = self._two_view(rng, planar=True)
+        valid = jnp.ones(len(b1), bool)
+        res = geo.ransac_essential(
+            jax.random.PRNGKey(0), jnp.asarray(b1), jnp.asarray(b2),
+            valid, solver="5pt", n_hyp=64)
+        ang, terr = self._pose_err(res.E, b1, b2, R_gt, t_gt)
+        assert ang < 2.0 and terr < 3.0, (ang, terr)
+
+    def test_general_scene_with_noise(self, rng):
+        b1, b2, R_gt, t_gt = self._two_view(rng, planar=False, noise=1e-4)
+        valid = jnp.ones(len(b1), bool)
+        res = geo.ransac_essential(
+            jax.random.PRNGKey(0), jnp.asarray(b1), jnp.asarray(b2),
+            valid, solver="5pt", n_hyp=64)
+        assert int(res.n_inliers) > 50
+        ang, terr = self._pose_err(res.E, b1, b2, R_gt, t_gt)
+        assert ang < 1.0 and terr < 2.0, (ang, terr)
