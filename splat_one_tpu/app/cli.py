@@ -49,6 +49,8 @@ def main(argv=None):
             sp.add_argument("--lowes-ratio", type=float, default=0.8)
             sp.add_argument("--order-neighbors", type=int, default=0)
             sp.add_argument("--gps-neighbors", type=int, default=0)
+        if name in ("reconstruct", "run-all"):
+            sp.add_argument("--live-viewer-port", type=int, default=0)
 
     sp = sub.add_parser("create-masks")
     sp.add_argument("workdir")
@@ -106,7 +108,9 @@ def main(argv=None):
         n = pipeline.create_tracks(args.workdir)
         print(f"built {n} tracks")
     elif args.cmd == "reconstruct":
-        report = pipeline.reconstruct(args.workdir)
+        report = pipeline.reconstruct(
+            args.workdir, live_viewer_port=args.live_viewer_port
+        )
         print(json.dumps(report, indent=2, default=str))
     elif args.cmd == "run-all":
         pipeline.extract_metadata(args.workdir, _progress("metadata"))

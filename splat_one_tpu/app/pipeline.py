@@ -240,9 +240,14 @@ def create_tracks(workdir: str, min_track_length: int = 2) -> int:
     return len(tracks)
 
 
-def reconstruct(workdir: str, progress: ProgressFn = None) -> Dict:
+def reconstruct(workdir: str, progress: ProgressFn = None,
+                live_viewer_port: int = 0) -> Dict:
     """tracks + features -> incremental SfM -> reconstruction.json
-    (OpenSfM-compatible so data.opensfm.Parser reads it directly)."""
+    (OpenSfM-compatible so data.opensfm.Parser reads it directly).
+
+    ``live_viewer_port`` > 0 serves the live point-cloud/camera view while
+    reconstruction runs (reference app/point_cloud_visualizer.py live
+    window)."""
     import jax.numpy as jnp
 
     from splat_one_tpu.app.image_processing import ImageProcessor
@@ -268,7 +273,18 @@ def reconstruct(workdir: str, progress: ProgressFn = None) -> Dict:
     for k, m in raw.items():
         a, b = k.split("|")
         counts[(idx_of[a], idx_of[b])] = len(m)
-    rec = RC.incremental_reconstruct(bearings, tracks, counts)
+    viewer = None
+    snapshot = None
+    if live_viewer_port:
+        from splat_one_tpu.app.recon_viewer import LiveReconViewer
+
+        viewer = LiveReconViewer(port=live_viewer_port)
+        url = viewer.serve_background()
+        print(f"live reconstruction view: {url}")
+        snapshot = viewer.update
+    rec = RC.incremental_reconstruct(
+        bearings, tracks, counts, snapshot=snapshot
+    )
 
     # export OpenSfM-compatible reconstruction.json
     cameras = {}

@@ -187,8 +187,12 @@ def _mm(a, b, dims):
     # rounding (~0.4% rel) is visible in rgb/depth (measured 4e-3 abs at
     # 720p) — too coarse for gsplat parity. (Mosaic supports only
     # DEFAULT/HIGHEST.)
+    import os
+    prec = (jax.lax.Precision.DEFAULT
+            if os.environ.get("STREAM_MM_FAST") == "1"
+            else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               precision=jax.lax.Precision.HIGHEST,
+                               precision=prec,
                                preferred_element_type=jnp.float32)
 
 

@@ -124,6 +124,9 @@ def incremental_reconstruct(
     pair_inliers: Dict[Tuple[int, int], int],  # match counts per pair
     cfg: ReconstructConfig = ReconstructConfig(),
     seed: int = 0,
+    snapshot=None,  # callable(poses, points) after each registration —
+    # feeds the live reconstruction viewer (reference
+    # app/point_cloud_visualizer.py:195-224 live view)
 ) -> Reconstruction:
     key = jax.random.PRNGKey(seed)
     n_images = len(bearings)
@@ -384,6 +387,8 @@ def incremental_reconstruct(
         if since_bundle >= cfg.bundle_interval:
             run_bundle()
             since_bundle = 0
+        if snapshot is not None:
+            snapshot(dict(poses), dict(points))
 
     # final polish: retriangulate every track from the converged poses
     # (recovers tracks dropped as outliers mid-way), then a stronger BA.

@@ -692,6 +692,14 @@ class Trainer:
             return out
 
         streaming = hasattr(self.scene.images, "prefetch")
+        # resume fidelity: the batch-permutation and RNG-key streams depend
+        # only on cfg.seed and the number of consumed steps — re-derive and
+        # fast-forward both so a killed run resumed from a checkpoint
+        # replays the exact schedule an uninterrupted run would have used
+        self.key = jax.random.PRNGKey(cfg.seed)
+        for _ in range(int(self.state.step)):
+            draw_idx()
+            self.key, _, _ = jax.random.split(self.key, 3)
         idx = draw_idx()
         for step in range(int(self.state.step), cfg.max_steps):
             if stop_flag is not None and stop_flag():

@@ -178,3 +178,30 @@ class TestMaskStage:
         xi = np.clip(xys[:, 0].astype(int), 0, m.shape[1] - 1)
         yi = np.clip(xys[:, 1].astype(int), 0, m.shape[0] - 1)
         assert (m[yi, xi] > 127).all()
+
+
+class TestLiveReconViewer:
+    def test_state_serving(self):
+        import json
+        import urllib.request
+
+        import numpy as np
+
+        from splat_one_tpu.app.recon_viewer import LiveReconViewer
+
+        v = LiveReconViewer(port=18765)
+        url = v.serve_background()
+        try:
+            poses = {0: np.zeros(6, np.float32),
+                     1: np.array([0, 0, 0, 0.5, 0, 0], np.float32)}
+            pts = {i: np.random.default_rng(i).normal(size=3)
+                   for i in range(20)}
+            v.update(poses, pts)
+            with urllib.request.urlopen(url + "/state", timeout=5) as r:
+                st = json.loads(r.read())
+            assert len(st["cams"]) == 2 and len(st["points"]) == 20
+            with urllib.request.urlopen(url, timeout=5) as r:
+                page = r.read()
+            assert b"canvas" in page
+        finally:
+            v.close()
