@@ -57,7 +57,24 @@ def main():
     t1 = time.time()
     hist = tr.train(log_every=max(steps // 20, 1))
     dt = time.time() - t1
+    for h in hist:
+        print("  ", h, flush=True)
     stats = tr.eval(steps, stage="final")
+
+    # train-view fit quality (the achievable-optimum measure: GT images
+    # came from a known gaussian scene) vs the held-out novel-view stats
+    import jax
+    import jax.numpy as jnp
+
+    from splat_one_tpu.train import losses as L
+
+    tpsnrs = []
+    for i in tr.train_idx[:4]:
+        b = tr._batch(np.array([i]))
+        rgb, _, _ = tr._eval_render(
+            tr.state, b["camtoworld"], b["K"], b["image_id"]
+        )
+        tpsnrs.append(float(L.psnr(rgb, b["image"])))
     out = {
         "width": width, "height": height, "gt_gaussians": n_gauss,
         "steps": steps, "train_s": round(dt, 1),
@@ -65,6 +82,7 @@ def main():
         "final_loss": hist[-1]["loss"] if hist else None,
         "num_GS": stats["num_GS"],
         "psnr": stats["psnr"], "ssim": stats["ssim"],
+        "train_view_psnr": round(float(np.mean(tpsnrs)), 2),
     }
     with open("results/quality_bench/stats/summary.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -49,6 +49,7 @@ def main(argv=None):
             sp.add_argument("--lowes-ratio", type=float, default=0.8)
             sp.add_argument("--order-neighbors", type=int, default=0)
             sp.add_argument("--gps-neighbors", type=int, default=0)
+            sp.add_argument("--vlad-neighbors", type=int, default=0)
         if name in ("reconstruct", "run-all"):
             sp.add_argument("--live-viewer-port", type=int, default=0)
 
@@ -101,6 +102,7 @@ def main(argv=None):
             args.workdir, lowes_ratio=args.lowes_ratio,
             order_neighbors=args.order_neighbors,
             gps_neighbors=args.gps_neighbors,
+            vlad_neighbors=args.vlad_neighbors,
             progress=_progress("matching"),
         )
         print(f"matched {n} pairs")

@@ -157,6 +157,7 @@ def match_features(
     lowes_ratio: float = 0.8,
     order_neighbors: int = 0,
     gps_neighbors: int = 0,
+    vlad_neighbors: int = 0,
     progress: ProgressFn = None,
 ) -> int:
     """features/ -> matches/matches.json (robust-filtered pairs)."""
@@ -189,6 +190,11 @@ def match_features(
     pairs = M.pairs_to_match(
         len(images), order_neighbors=order_neighbors,
         gps_positions=gps, gps_neighbors=gps_neighbors,
+        descriptors=(
+            [feats[n]["descriptors"] for n in images]
+            if vlad_neighbors > 0 else None
+        ),
+        vlad_neighbors=vlad_neighbors,
     )
     descs = [feats[n]["descriptors"] for n in images]
     valids = [feats[n]["valid"] for n in images]

@@ -22,19 +22,80 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def vlad_signatures(
+    descriptors: Sequence[np.ndarray],  # per image [K, D] L2-normalized
+    n_words: int = 16,
+    iters: int = 8,
+    seed: int = 0,
+) -> np.ndarray:
+    """Per-image VLAD signature over a k-means vocabulary trained on the
+    scene's own descriptors — the appearance-similarity pair preselection
+    the reference configures (config.yaml:68-76 matching_vlad_*; OpenSfM's
+    vlad_histograms). One matmul assigns descriptors to words; residuals
+    are aggregated, power-normalized and L2-normalized. Returns
+    [M, n_words * D]."""
+    rng = np.random.default_rng(seed)
+    alld = np.concatenate([d for d in descriptors if len(d)], axis=0)
+    if len(alld) == 0:
+        return np.zeros((len(descriptors), 0), np.float32)
+    sub = alld[rng.choice(len(alld), min(len(alld), 20_000), replace=False)]
+    centers = sub[rng.choice(len(sub), n_words, replace=False)].copy()
+    centers_j = jnp.asarray(centers)
+    sub_j = jnp.asarray(sub)
+
+    @jax.jit
+    def kmeans_step(centers):
+        # cosine assignment (descriptors are unit length)
+        a = jnp.argmax(sub_j @ centers.T, axis=1)  # [S]
+        oh = jax.nn.one_hot(a, n_words, dtype=jnp.float32)  # [S, W]
+        sums = oh.T @ sub_j  # [W, D]
+        cnt = oh.sum(axis=0)[:, None]
+        new = jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1), centers)
+        return new / jnp.maximum(
+            jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9
+        )
+
+    for _ in range(iters):
+        centers_j = kmeans_step(centers_j)
+
+    @jax.jit
+    def signature(d):
+        a = jnp.argmax(d @ centers_j.T, axis=1)
+        oh = jax.nn.one_hot(a, n_words, dtype=jnp.float32)
+        resid = oh.T @ d - oh.sum(0)[:, None] * centers_j  # [W, D]
+        v = resid.reshape(-1)
+        v = jnp.sign(v) * jnp.sqrt(jnp.abs(v))  # power normalization
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+        # BoW component: the word-usage histogram separates scenes even
+        # when residuals are noise-dominated (tight clusters)
+        h = jnp.sqrt(oh.sum(0) / jnp.maximum(oh.sum(), 1))
+        h = h / jnp.maximum(jnp.linalg.norm(h), 1e-9)
+        return jnp.concatenate([v, h]) / jnp.sqrt(2.0)
+
+    D = alld.shape[1]
+    out = np.zeros((len(descriptors), n_words * D + n_words), np.float32)
+    for i, d in enumerate(descriptors):
+        if len(d):
+            out[i] = np.asarray(signature(jnp.asarray(d)))
+    return out
+
+
 def pairs_to_match(
     n_images: int,
     *,
     order_neighbors: int = 0,
     gps_positions: Optional[np.ndarray] = None,
     gps_neighbors: int = 0,
+    descriptors: Optional[Sequence[np.ndarray]] = None,
+    vlad_neighbors: int = 0,
     max_pairs: Optional[int] = None,
 ) -> List[Tuple[int, int]]:
     """Candidate pair selection (reference matching_* config keys,
     config.yaml:62-76): exhaustive by default, optionally restricted to
-    sequence-order neighbors and/or GPS nearest neighbors."""
+    sequence-order neighbors, GPS nearest neighbors, and/or VLAD
+    appearance nearest neighbors."""
     pairs = set()
-    if order_neighbors <= 0 and gps_neighbors <= 0:
+    if order_neighbors <= 0 and gps_neighbors <= 0 and vlad_neighbors <= 0:
         pairs = set(combinations(range(n_images), 2))
     if order_neighbors > 0:
         for i in range(n_images):
@@ -46,6 +107,12 @@ def pairs_to_match(
         )
         for i in range(n_images):
             for j in np.argsort(d[i])[1 : gps_neighbors + 1]:
+                pairs.add((min(i, int(j)), max(i, int(j))))
+    if vlad_neighbors > 0 and descriptors is not None:
+        sig = vlad_signatures(descriptors)
+        sim = sig @ sig.T
+        for i in range(n_images):
+            for j in np.argsort(-sim[i])[1 : vlad_neighbors + 1]:
                 pairs.add((min(i, int(j)), max(i, int(j))))
     out = sorted(pairs)
     if max_pairs is not None:

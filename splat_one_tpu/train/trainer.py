@@ -653,14 +653,34 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    _DEVICE_IMAGE_BUDGET = 2 << 30  # keep images on device under 2 GiB
+
     def _batch(self, idx: np.ndarray) -> Dict[str, jax.Array]:
-        imgs = self.scene.images[idx]
-        if imgs.dtype == np.uint8:
-            imgs = imgs.astype(np.float32) / 255.0
+        # small in-RAM scenes live on the DEVICE once (indexing is an
+        # on-device gather) — re-uploading each batch over the host link
+        # dominated step time at production resolutions; streaming scenes
+        # keep the host decode + prefetch path
+        imgs_src = self.scene.images
+        if (
+            isinstance(imgs_src, np.ndarray)
+            and imgs_src.nbytes * (4 if imgs_src.dtype == np.uint8 else 1)
+            < self._DEVICE_IMAGE_BUDGET
+        ):
+            if not hasattr(self, "_dev_images"):
+                f = imgs_src.astype(np.float32)
+                if imgs_src.dtype == np.uint8:
+                    f = f / 255.0
+                self._dev_images = jax.device_put(f)
+            imgs = self._dev_images[jnp.asarray(idx)]
+        else:
+            imgs = imgs_src[idx]
+            if hasattr(imgs, "dtype") and imgs.dtype == np.uint8:
+                imgs = imgs.astype(np.float32) / 255.0
+            imgs = jnp.asarray(imgs)
         b = {
             "camtoworld": jnp.asarray(self.scene.camtoworlds[idx]),
             "K": jnp.asarray(self.scene.Ks[idx]),
-            "image": jnp.asarray(imgs),
+            "image": imgs,
             "image_id": jnp.asarray(idx.astype(np.int32)),
         }
         if self.cfg.depth_loss and self.scene.depths is not None:
@@ -716,12 +736,18 @@ class Trainer:
                 self.scene.images.prefetch(idx)
             # intersection-capacity overflow -> grow caps + rebuild steps
             # (same designed-recompile treatment as splat-capacity growth);
-            # checked one step late so the fetch overlaps this step's compute
+            # sampled every 10 steps so the scalar fetch doesn't serialize
+            # the dispatch pipeline (staleness is bounded and growth sizes
+            # itself from the measured n_isect)
             if prev_overflow is not None and bool(prev_overflow[0]):
                 self._grow_isect_caps(float(prev_overflow[1]))
-            prev_overflow = (
-                metrics.get("overflow"), metrics.get("n_isect", 0)
-            )
+                prev_overflow = None
+            elif step % 10 == 9:
+                prev_overflow = (
+                    metrics.get("overflow"), metrics.get("n_isect", 0)
+                )
+            else:
+                prev_overflow = None
             # densification schedule (gsplat step_post_backward semantics)
             if (
                 strat_cfg.refine_start_iter

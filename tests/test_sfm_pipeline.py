@@ -146,3 +146,30 @@ class TestPipeline:
         err = np.linalg.norm(aligned - c_gt, axis=-1).max()
         spread = np.linalg.norm(c_gt - mu_g, axis=-1).mean()
         assert err < 0.05 * spread, (err, spread, rec.report)
+
+
+class TestVladPairs:
+    def test_vlad_selects_similar_images(self, rng):
+        import numpy as np
+
+        from splat_one_tpu.sfm.matching import pairs_to_match
+
+        # two visually distinct groups of images: descriptors drawn around
+        # group-specific prototypes
+        D, K = 32, 64
+        protos = rng.normal(size=(2, 4, D))
+        descs = []
+        for i in range(8):
+            g = i // 4
+            base = protos[g][rng.integers(0, 4, K)]
+            d = base + rng.normal(0, 0.1, (K, D))
+            descs.append(
+                (d / np.linalg.norm(d, axis=1, keepdims=True)
+                 ).astype(np.float32)
+            )
+        pairs = pairs_to_match(
+            8, descriptors=descs, vlad_neighbors=2
+        )
+        # neighbours should overwhelmingly come from the same group
+        same = sum(1 for i, j in pairs if i // 4 == j // 4)
+        assert same / len(pairs) > 0.7, pairs
