@@ -942,6 +942,60 @@ class Trainer:
         np.savez(path, **flat)
         return path
 
+    def save_checkpoint_sharded(self, step: int) -> str:
+        """Orbax checkpoint of the (possibly mesh-sharded) TrainState: on a
+        multi-host mesh every process writes only its own shards — the
+        multi-host story the flat-npz path (which gathers to one host)
+        cannot cover. Restore with ``load_checkpoint_sharded``."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.result_dir, "ckpts", f"ocp_{step}")
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                path, {"state": self._state_dictish(), "step": step},
+                force=True,
+            )
+        return path
+
+    def load_checkpoint_sharded(self, path: str):
+        """Restore an Orbax checkpoint with this Trainer's shardings (the
+        template carries the mesh placement, so shards land directly on
+        their owning devices)."""
+        import orbax.checkpoint as ocp
+
+        template = jax.tree.map(
+            ocp.utils.to_shape_dtype_struct
+            if hasattr(ocp.utils, "to_shape_dtype_struct")
+            else (lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None))),
+            self._state_dictish(),
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            out = ckptr.restore(
+                os.path.abspath(path), {"state": template, "step": 0}
+            )
+        st = out["state"]
+        self.state = self.state._replace(**st)
+        self.state = self.state._replace(
+            step=jnp.asarray(out["step"], jnp.int32)
+        )
+        ckpt_capacity = int(self.state.alive.shape[0])
+        if ckpt_capacity != self.capacity:
+            self.capacity = ckpt_capacity
+            self.caps = self._choose_caps(ckpt_capacity)
+            self._build_steps()
+
+    def _state_dictish(self):
+        """TrainState as a plain nested dict (orbax-friendly: no Nones)."""
+        d = {}
+        for k, v in self.state._asdict().items():
+            if v is None or k == "step":
+                continue
+            d[k] = v
+        return d
+
     def load_checkpoint(self, path: str):
         z = np.load(path)
 

@@ -362,3 +362,42 @@ class TestPreemptionResume:
             np.asarray(tr_b.state.pose_params),
             np.asarray(tr_full.state.pose_params), rtol=1e-5, atol=1e-7,
         )
+
+
+class TestOrbaxShardedCheckpoint:
+    def test_sharded_save_restore(self, tmp_path):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        scene, _ = make_synthetic_scene(
+            n_gaussians=250, n_cameras=4, width=48, height=48, n_points=120
+        )
+        kw = dict(
+            max_steps=3, eval_steps=[], save_steps=[], batch_size=2,
+            test_every=4,
+            strategy=DefaultStrategyCfg(
+                refine_start_iter=10_000, refine_stop_iter=10_001,
+                refine_every=10_000, reset_every=10_000,
+            ),
+        )
+        dev = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(dev, ("data", "gauss"))
+        tr = Trainer(small_cfg(tmp_path / "a", **kw), scene, mesh=mesh)
+        tr.train(log_every=10)
+        path = tr.save_checkpoint_sharded(3)
+
+        tr2 = Trainer(small_cfg(tmp_path / "b", **kw), scene, mesh=mesh)
+        tr2.load_checkpoint_sharded(path)
+        for k in tr.state.params:
+            np.testing.assert_array_equal(
+                np.asarray(tr2.state.params[k]),
+                np.asarray(tr.state.params[k]), err_msg=k,
+            )
+        # shardings survive the round trip (shards land on their devices)
+        s1 = tr.state.params["means"].sharding
+        s2 = tr2.state.params["means"].sharding
+        assert s1.is_equivalent_to(s2, tr.state.params["means"].ndim)
+        assert int(tr2.state.step) == 3
+        # training continues from the restored sharded state
+        h = tr2.train(log_every=1)
+        assert np.isfinite([x["loss"] for x in h]).all()
