@@ -57,11 +57,28 @@ def main():
             avg_tiles_per_gaussian=6.0,
         )
     else:
+        from splat_one_tpu.ops import stream_isect as si_mod
+        from splat_one_tpu.ops.projection import project_gaussians
         from splat_one_tpu.ops.stream_isect import StreamCaps, supertile_grid
+
         _, _, s_w, s_h = supertile_grid(W, H, 16)
-        caps = StreamCaps.choose(
-            N_GAUSS, 1, s_w * s_h, avg_supertiles_per_gaussian=3.0,
+        # one warm-up intersection build at generous caps sizes the static
+        # buffers from the measured count — the same first-step adaptation
+        # a deployment does (StreamCaps.choose_observed + the trainer's
+        # overflow-growth recompile path)
+        caps0 = StreamCaps.choose(
+            N_GAUSS, 1, s_w * s_h, avg_supertiles_per_gaussian=4.0,
         )
+        proj0 = jax.jit(
+            lambda m, q, s, o: project_gaussians(
+                m, q, s, o, jnp.asarray(viewmats), jnp.asarray(Ks), W, H,
+                colors=jnp.zeros((N_GAUSS, 3), jnp.float32),
+            )
+        )(jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+          jnp.asarray(opac))
+        n0 = int(si_mod.build_stream_intersections(proj0, W, H, 16, caps0)
+                 .n_isect)
+        caps = StreamCaps.choose_observed(n0, s_w * s_h)
     args = tuple(
         jnp.asarray(x)
         for x in (means, quats, scales, opac, sh, viewmats, Ks)

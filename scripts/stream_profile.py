@@ -63,7 +63,7 @@ def main():
         p = project_gaussians(
             means + c * 1e-30, quats, scales, opac, viewmats, Ks, W, H,
             sh_coeffs=sh, sh_degree=3)
-        return c + p.depths[0, 0] * 1e-30
+        return c + jnp.sum(p.depths) * 1e-12
 
     timeit("projection fwd (sh3)", loop(proj_fn), *args)
 
@@ -78,7 +78,7 @@ def main():
     def isect_fn(proj, c):
         p = proj._replace(depths=proj.depths + c * 1e-30)
         i = si_mod.build_stream_intersections(p, W, H, 16, caps)
-        return c + i.sorted_g[0].astype(jnp.float32) * 1e-30
+        return c + jnp.sum(i.sorted_g).astype(jnp.float32) * 1e-12
 
     timeit("stream isect build (sort etc)", loop(isect_fn), proj)
 
@@ -90,7 +90,7 @@ def main():
         fields = si_mod.build_fields(proj)
         packed = si_mod.pack_stream(
             fields + c * 1e-30, isect, caps).T
-        return c + packed[0, 0] * 1e-30
+        return c + jnp.sum(packed[:, 0]) * 1e-12
 
     timeit("pack gather + T", loop(pack_fn), proj, isect)
 
@@ -101,7 +101,7 @@ def main():
     def fwd_fn(packed, c):
         out = stream_raster._fwd_call(cfg, isect.st_starts,
                                       packed + c * 1e-30)
-        return c + out[0, 0, 0, 0] * 1e-30
+        return c + jnp.sum(out[:, 0, 0, 0]) * 1e-12
 
     timeit("fwd kernel", loop(fwd_fn), packed)
 
@@ -114,7 +114,7 @@ def main():
         pg = stream_raster._bwd_call(cfg, isect.st_starts,
                                      isect.st_starts_al,
                                      packed + c * 1e-30, fwd_out, gout)
-        return c + pg[0, 0] * 1e-30
+        return c + jnp.sum(pg[0]) * 1e-12
 
     timeit("bwd kernel", loop(bwd_fn), packed)
 
@@ -123,10 +123,39 @@ def main():
     jax.block_until_ready(pgrads)
 
     def red_fn(pgrads, c):
-        seg = si_mod.reduce_stream_grads(pgrads + c * 1e-30, N_GAUSS)
-        return c + seg[0, 0] * 1e-30
+        seg = si_mod.reduce_stream_grads(pgrads + c * 1e-12, N_GAUSS)
+        return c + jnp.sum(seg[0]) * 1e-12
 
     timeit("bwd reduction (sort+segreduce)", loop(red_fn), pgrads)
+
+    def sort_fn(pgrads, c):
+        pg = pgrads + c * 1e-12
+        parts = jax.lax.sort(
+            [pg[si_mod.GCOL_KEY]] + [pg[i] for i in range(10)],
+            is_stable=False, num_keys=1)
+        return c + jnp.sum(parts[1]) * 1e-12
+
+    timeit("  sort only (10 payloads)", loop(sort_fn), pgrads)
+
+    from splat_one_tpu.ops import seg_reduce
+    parts = jax.lax.sort(
+        [pgrads[si_mod.GCOL_KEY]] + [pgrads[i] for i in range(10)],
+        is_stable=False, num_keys=1)
+    rows = jnp.stack(list(parts[1:]) + [parts[0]], axis=0)
+    rows = jnp.pad(rows, ((0, 0), (0, seg_reduce.CH)))
+    nb = -(-N_GAUSS // seg_reduce.R)
+    queries = (jnp.arange(nb + 1, dtype=jnp.int32) * seg_reduce.R
+               ).astype(jnp.float32) + 1.0
+    bounds = jnp.searchsorted(parts[0], queries, side="left").astype(
+        jnp.int32)
+    rows, bounds = jax.block_until_ready((rows, bounds))
+
+    def seg_fn(rows, bounds, c):
+        out = seg_reduce.segment_reduce_sorted(
+            rows + c * 1e-12, bounds, N_GAUSS)
+        return c + jnp.sum(out[0]) * 1e-12
+
+    timeit("  segreduce kernel only", loop(seg_fn), rows, bounds)
 
 
 if __name__ == "__main__":

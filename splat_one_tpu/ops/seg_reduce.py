@@ -13,10 +13,14 @@ this kernel reduces KEY-SORTED rows with zero gathers:
   - Grid over blocks of R=512 output gaussians. Block k owns the slot range
     ``[bounds[k], bounds[k+1])`` (host-side searchsorted of the sorted key
     row), streamed in lane-aligned chunks of CH=1024.
-  - Per chunk, a one-hot [CH, R] matrix (exact in bf16) maps slots to block
-    rows: ``acc += rows_chunk[12, CH] @ onehot[CH, R]`` on the MXU. The f32
-    chunk is split hi/mid/lo into three bf16 operands (24 = 3x8 mantissa
-    bits), so the products are exact and only the f32 accumulation rounds.
+  - Per chunk, a one-hot [R, CH] matrix (exact in bf16) maps slots to block
+    rows: ``accT[R, nr] += onehot[R, CH] @ rows_chunk[nr, CH]^T`` on the
+    MXU. The orientation matters an 8x: with the one-hot on the LEFT the
+    MXU M dimension is R (fully tiled) and the streamed N dimension is the
+    row count (~12-16); the naive ``rows @ onehot`` form instead pads M=12
+    up to the 128-row array (~90% idle) while streaming N=R=2048 columns.
+    The f32 chunk is split hi/lo bf16 operands (16 mantissa bits), so the
+    products are exact and only the f32 accumulation rounds.
   - Slots outside the block's gaussian range have one-hot zero everywhere —
     chunk over-reads at 128-aligned bases need no explicit masking.
   - Output block k is the lane-aligned slab ``out[:, k*R:(k+1)*R]`` — no
@@ -61,7 +65,7 @@ def _kernel(nrows: int, nrp: int, bounds_ref, rows_ref, out_ref, buf, sems,
     b1 = bounds_ref[k + 1]
     base = pl.multiple_of((b0 // CH) * CH, CH)
     nchunks = pl.cdiv(b1 - base, CH)
-    acc[...] = jnp.zeros((nrows, R), jnp.float32)
+    acc[...] = jnp.zeros((R, nrows), jnp.float32)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
@@ -83,19 +87,21 @@ def _kernel(nrows: int, nrp: int, bounds_ref, rows_ref, out_ref, buf, sems,
         get_dma(c % NBUF, c).wait()
         chunk = buf[c % NBUF]  # [nrp, CH]; row nrows = key
         keys = chunk[nrows:nrows + 1, :]  # [1, CH] f32 (gid + 1, exact int)
-        local = keys.T.astype(jnp.int32) - (1 + k * R)  # [CH, 1]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (CH, R), 1)
-        oh = (local == cols).astype(jnp.bfloat16)  # exact
+        local = keys.astype(jnp.int32) - (1 + k * R)  # [1, CH]
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, CH), 0)
+        oh = (local == rows_i).astype(jnp.bfloat16)  # [R, CH], exact
         g = chunk[:nrows, :]
         for part in _split(g):
+            # accT[R, nr] += oh[R, CH] . part[nr, CH]^T — one-hot on the
+            # LEFT so the MXU M dim is R (see module docstring)
             acc[...] += jax.lax.dot_general(
-                part, oh, ((((1,), (0,))), ((), ())),
+                oh, part, ((((1,), (1,))), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
-    out_ref[...] = acc[...]
+    out_ref[...] = acc[...].T
 
 
 def segment_reduce_sorted(rows: jax.Array, bounds: jax.Array,
@@ -120,7 +126,7 @@ def segment_reduce_sorted(rows: jax.Array, bounds: jax.Array,
             scratch_shapes=[
                 pltpu.VMEM((NBUF, nrp, CH), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
-                pltpu.VMEM((nr, R), jnp.float32),
+                pltpu.VMEM((R, nr), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nr, nb * R), jnp.float32),

@@ -115,6 +115,22 @@ class StreamCaps:
         return StreamCaps(exp_cap=exp_cap, n_supertiles=n_supertiles,
                           chunk=chunk, ss=ss)
 
+    @staticmethod
+    def choose_observed(n_isect: int, n_supertiles: int, chunk: int = 128,
+                        slack: float = 1.08, ss: int = SS):
+        """Size caps from a MEASURED intersection count (one warm-up
+        ``build_stream_intersections`` with generous caps, or the previous
+        step's ``info["n_isect"]``). Every glue stage (expansion cumsums,
+        the (supertile, depth) sort, the pack gather, the grad-reduction
+        sort) is proportional to the STATIC ``exp_cap``, not the live
+        count, so right-sizing is a direct throughput win; a scene drift
+        past ``slack`` trips the overflow flag and the trainer's existing
+        capacity-growth recompile path (train.trainer._grow_isect_caps)."""
+        exp_cap = max(int(n_isect * slack), 1024)
+        exp_cap = -(-exp_cap // chunk) * chunk
+        return StreamCaps(exp_cap=exp_cap, n_supertiles=n_supertiles,
+                          chunk=chunk, ss=ss)
+
 
 class StreamIsect(NamedTuple):
     """Sorted supertile-stream layout.

@@ -182,18 +182,30 @@ def _pprod_excl(x, G):
     return x
 
 
-def _mm(a, b, dims):
-    # HIGHEST = full-f32 multi-pass MXU: the default single-pass bf16
-    # rounding (~0.4% rel) is visible in rgb/depth (measured 4e-3 abs at
-    # 720p) — too coarse for gsplat parity. (Mosaic supports only
-    # DEFAULT/HIGHEST.)
-    import os
-    prec = (jax.lax.Precision.DEFAULT
-            if os.environ.get("STREAM_MM_FAST") == "1"
-            else jax.lax.Precision.HIGHEST)
-    return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               precision=prec,
-                               preferred_element_type=jnp.float32)
+def _mm_split(a, b, dims):
+    """MXU matmul at ~2^-16 relative accuracy in 3 single-bf16 passes.
+
+    Both operands split hi/lo into bf16 (each part exact to 8 mantissa
+    bits; bf16 x bf16 products are exact in the f32 accumulator); the
+    dropped lo*lo term and the 8-bit residual beyond the lo parts bound the
+    error at ~1.5e-5 relative — half the passes of HIGHEST (6, the bf16_6x
+    expansion) for error well under gsplat's own CUDA atomic-order noise.
+    Positive-weight compositing sums keep the relative error from
+    amplifying. On CPU (interpret mode) a plain f32 dot is used — exact,
+    and bf16 emulation there would only slow the test suite."""
+    if _use_interpret():
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(x, y):
+        return jax.lax.dot_general(x, y, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
 
 
 def _chunk_bbox(cfg: StreamCfg, chunk, tx, ty, rowmask):
@@ -313,7 +325,7 @@ def _stream_fwd_kernel(cfg: StreamCfg, starts_ref, off_ref, packed_ref,
                 T_row = Tst[j]
                 w_ = alpha * Tins * T_row  # [G, P]
                 cols = chunk[si.COL_R:si.COL_R + 8, :]  # [8, G]
-                accst[j] = accst[j] + _mm(cols, w_, (((1,), (0,))))
+                accst[j] = accst[j] + _mm_split(cols, w_, (((1,), (0,))))
                 Tst[j] = T_row * (
                     Tins[G - 1:G, :] * one_m[G - 1:G, :]
                 )
@@ -447,7 +459,15 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
                 Texc = _pprod_excl(one_m, G)
                 T_i = Texc * Tst[j]
                 w_ = alpha * T_i
-                cg = _mm(cols4, g4, (((0,), (0,))))  # [G, P]
+                # cg[g, p] = sum_c cols4[c, g] * g4[c, p]: K=4 is a waste of
+                # an MXU pass per precision split — 4 VPU outer-product FMAs
+                # are exact f32 and ~6x cheaper than the HIGHEST matmul.
+                cg = functools.reduce(
+                    lambda acc, c: acc + cols4[c].reshape(G, 1)
+                    * g4[c].reshape(1, P),
+                    range(4),
+                    jnp.zeros((G, P), jnp.float32),
+                )
                 wcg = w_ * cg
                 prefix_incl = _psum_incl(wcg, G)
                 dalpha = (
@@ -460,7 +480,16 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
                 dopac_pp = jnp.where(live, dalpha * expneg, 0.0)
                 ddx_pp = dsigma * (q["ca"] * dx + q["cb"] * dy)
                 ddy_pp = dsigma * (q["cc"] * dy + q["cb"] * dx)
-                dcols4 = _mm(g4, w_, (((1,), (1,))))  # [4, G]
+                # dcols4[c, g] = sum_p g4[c, p] * w_[g, p]: 4 exact-f32 VPU
+                # multiply+row-sums instead of a K=P HIGHEST MXU matmul.
+                dcols4 = jnp.concatenate(
+                    [
+                        jnp.sum(w_ * g4[c].reshape(1, P), axis=1).reshape(
+                            1, G)
+                        for c in range(4)
+                    ],
+                    axis=0,
+                )  # [4, G]
                 grad_rows = jnp.concatenate(
                     [
                         jnp.sum(ddx_pp, axis=1).reshape(1, G),
