@@ -89,6 +89,115 @@ def total_variation_loss(grids: jax.Array) -> jax.Array:
     return d / 3.0
 
 
+def init_cp4d(
+    key: jax.Array,
+    grid_x: int = 16,
+    grid_y: int = 16,
+    grid_z: int = 16,
+    grid_w: int = 8,
+    rank: int = 5,
+    learn_gray: bool = True,
+    gray_mlp_width: int = 8,
+    gray_mlp_depth: int = 2,
+    init_noise_scale: float = 1e-6,
+    bound: float = 2.0,
+) -> dict:
+    """Low-rank (CP-factored) 4D bilateral grid over (x, y, z, guidance).
+
+    Capability parity with the reference's ``BilateralGridCP4D``
+    (utils/gsplat_utils/lib_bilagrid.py:401-573): a rank-R CP decomposition
+    of a 4D grid of 3x4 color affines, sliced by WORLD xyz (scaled by
+    ``bound``) plus a per-pixel guidance value (fixed BT.601 gray or a tiny
+    learned MLP). The identity-affine grid is EXACTLY rank-1 in CP form
+    (constant 12-vector x ones x ones x ones x ones), so instead of the
+    reference's tensorly ``parafac`` bootstrap we initialize factor 0's
+    first column to the identity affine, the first spatial row of each
+    factor to ones, and fill the remaining ranks with
+    ``init_noise_scale``-scaled noise — the same function family, no
+    tensor-decomposition dependency."""
+    ks = jax.random.split(key, 6)
+    ident = jnp.array(
+        [1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0], jnp.float32
+    )
+    mix = jax.random.normal(ks[0], (rank, 12)) * init_noise_scale
+    mix = mix.at[0].add(ident)  # [rank, 12]; coef row 0 carries identity
+    facs = {}
+    for name, size, k in (
+        ("fx", grid_x, ks[1]), ("fy", grid_y, ks[2]),
+        ("fz", grid_z, ks[3]), ("fw", grid_w, ks[4]),
+    ):
+        f = jax.random.normal(k, (rank, size)) * init_noise_scale
+        facs[name] = f.at[0].add(1.0)  # rank-0 row = ones -> identity
+    params = {"mix": mix, **facs, "bound": jnp.float32(bound)}
+    if learn_gray:
+        widths = [3] + [gray_mlp_width] * (gray_mlp_depth - 1) + [1]
+        mlp = []
+        for i, (a, b) in enumerate(zip(widths[:-1], widths[1:])):
+            wk, ks5 = jax.random.split(ks[5] if i == 0 else ks5)
+            mlp.append({
+                "w": jax.random.normal(wk, (a, b)) * (1.0 / jnp.sqrt(a)),
+                "b": jnp.zeros((b,)),
+            })
+        params["gray_mlp"] = mlp
+    return params
+
+
+def _interp_factor(fac: jax.Array, coord: jax.Array) -> jax.Array:
+    """Linearly interpolate a [rank, S] factor at normalized coords in
+    [-1, 1] (align-corners, border-clamped) -> [rank, N]."""
+    S = fac.shape[1]
+    t = jnp.clip((coord + 1.0) * 0.5, 0.0, 1.0) * (S - 1)
+    i0 = jnp.clip(jnp.floor(t), 0, S - 1).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, S - 1)
+    f = t - i0
+    return fac[:, i0] * (1.0 - f) + fac[:, i1] * f
+
+
+def slice_cp4d(params: dict, xyz: jax.Array, rgb: jax.Array) -> jax.Array:
+    """Slice per-point 3x4 affines from the low-rank 4D grid.
+
+    ``xyz [..., 3]`` world coordinates, ``rgb [..., 3]`` colors ->
+    ``[..., 3, 4]`` affines (apply to homogeneous rgb as the caller sees
+    fit, matching the reference forward contract)."""
+    shp = xyz.shape[:-1]
+    p = xyz.reshape(-1, 3) / params["bound"]
+    c = rgb.reshape(-1, 3)
+    if "gray_mlp" in params:
+        h = c
+        for i, layer in enumerate(params["gray_mlp"]):
+            h = h @ layer["w"] + layer["b"]
+            if i < len(params["gray_mlp"]) - 1:
+                h = jax.nn.relu(h)
+        gray = 2.0 * jnp.tanh(h[:, 0] / 2.0)  # scaled tanh into [-2, 2]
+    else:
+        gray = (c @ _GRAY) * 2.0 - 1.0
+    coef = (
+        _interp_factor(params["fx"], p[:, 0])
+        * _interp_factor(params["fy"], p[:, 1])
+        * _interp_factor(params["fz"], p[:, 2])
+        * _interp_factor(params["fw"], gray)
+    )  # [rank, N]
+    mat = coef.T @ params["mix"]  # [N, 12]
+    return mat.reshape(*shp, 3, 4)
+
+
+def apply_cp4d(params: dict, xyz: jax.Array, rgb: jax.Array) -> jax.Array:
+    """Slice + apply: color-corrected rgb with the same shape as ``rgb``."""
+    aff = slice_cp4d(params, xyz, rgb)
+    rgb1 = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
+    return jnp.einsum("...ij,...j->...i", aff, rgb1)
+
+
+def total_variation_loss_cp4d(params: dict) -> jax.Array:
+    """TV over the 1-D spatial/guidance factors (the reference penalizes
+    the learnable factor residuals; factors ARE the learnables here)."""
+    d = 0.0
+    for name in ("fx", "fy", "fz", "fw"):
+        diff = jnp.diff(params[name], axis=1)
+        d = d + jnp.mean(diff * diff)
+    return d / 4.0
+
+
 def color_correct(
     pred: jax.Array,  # [H, W, 3]
     gt: jax.Array,  # [H, W, 3]

@@ -401,3 +401,58 @@ class TestOrbaxShardedCheckpoint:
         # training continues from the restored sharded state
         h = tr2.train(log_every=1)
         assert np.isfinite([x["loss"] for x in h]).all()
+
+
+class TestBilateralCP4D:
+    """Low-rank 4D bilateral grid (reference lib_bilagrid.py:401-573)."""
+
+    def test_identity_init_and_trainability(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from splat_one_tpu.train import bilateral_grid as BG
+
+        key = jax.random.PRNGKey(0)
+        params = BG.init_cp4d(key, rank=4, learn_gray=False,
+                              init_noise_scale=1e-6)
+        xyz = jax.random.uniform(key, (64, 3), minval=-1.5, maxval=1.5)
+        rgb = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        out = BG.apply_cp4d(params, xyz, rgb)
+        # identity init: corrected colors ~= input colors
+        assert float(jnp.abs(out - rgb).max()) < 1e-3
+        assert np.isfinite(float(BG.total_variation_loss_cp4d(params)))
+
+        # fit a global color tint: loss must drop by >10x
+        tint = jnp.asarray([1.3, 0.8, 1.1])
+        target = jnp.clip(rgb * tint, 0, 1)
+
+        def loss_fn(p):
+            return jnp.mean((BG.apply_cp4d(p, xyz, rgb) - target) ** 2)
+
+        opt = optax.adam(3e-2)
+        state = opt.init(params)
+        l0 = float(loss_fn(params))
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, l
+
+        for _ in range(120):
+            params, state, l = step(params, state)
+        assert float(l) < l0 / 10
+
+    def test_learned_gray_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from splat_one_tpu.train import bilateral_grid as BG
+
+        params = BG.init_cp4d(jax.random.PRNGKey(2), rank=3,
+                              learn_gray=True)
+        aff = BG.slice_cp4d(params, jnp.zeros((4, 5, 3)),
+                            jnp.full((4, 5, 3), 0.5))
+        assert aff.shape == (4, 5, 3, 4)
