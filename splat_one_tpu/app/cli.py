@@ -81,6 +81,11 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--ckpt", default=None)
 
+    sp = sub.add_parser("mask-ui")
+    sp.add_argument("workdir")
+    sp.add_argument("--port", type=int, default=8081)
+    sp.add_argument("--checkpoint", default=None)
+
     args = p.parse_args(argv)
     from splat_one_tpu.app import pipeline
 
@@ -170,6 +175,11 @@ def main(argv=None):
         from splat_one_tpu.app.viewer import serve_workdir
 
         serve_workdir(args.workdir, port=args.port, ckpt=args.ckpt)
+    elif args.cmd == "mask-ui":
+        from splat_one_tpu.app.mask_ui import MaskUIServer
+
+        MaskUIServer(args.workdir, checkpoint=args.checkpoint,
+                     port=args.port).serve_forever()
     print(f"[{args.cmd}] done in {time.time() - t0:.1f}s")
 
 
