@@ -29,6 +29,7 @@ W, H = 1280, 720
 ITERS = 10
 # "stream" (supertile-stream rasterizer, default) or "tiled" (gen-1).
 IMPL = os.environ.get("SPLAT_BENCH_IMPL", "stream")
+CHUNK = int(os.environ.get("SPLAT_BENCH_CHUNK", "128"))  # kernel chunk G
 
 
 def main():
@@ -78,7 +79,7 @@ def main():
           jnp.asarray(opac))
         n0 = int(si_mod.build_stream_intersections(proj0, W, H, 16, caps0)
                  .n_isect)
-        caps = StreamCaps.choose_observed(n0, s_w * s_h)
+        caps = StreamCaps.choose_observed(n0, s_w * s_h, chunk=CHUNK)
     args = tuple(
         jnp.asarray(x)
         for x in (means, quats, scales, opac, sh, viewmats, Ks)
