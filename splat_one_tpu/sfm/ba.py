@@ -154,6 +154,12 @@ def _cost(r, w, valid):
     )
 
 
+def camera_center(cam: jax.Array) -> jax.Array:
+    """World-space camera center of a [6] (rvec, t) world->camera pose."""
+    R = _rodrigues(cam[:3])
+    return -R.T @ cam[3:]
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def bundle_adjust(
     cams: jax.Array,  # [C, 6] (rvec, t) world->camera
@@ -163,6 +169,12 @@ def bundle_adjust(
     fixed_cams: jax.Array = None,  # [C] bool: frozen cameras (their
     # observations still constrain points — the windowed local-BA
     # boundary condition, reference config.yaml:117-124)
+    point_priors=None,  # ([P, 3] positions, [P] weights; 0 = no prior):
+    # ground-control-point position priors (config.yaml:133
+    # ``bundle_use_gcp``) — quadratic pulls on selected track points
+    cam_pos_priors=None,  # ([C, 3] centers, [C] weights; 0 = no prior):
+    # GPS camera-center priors inside BA (config.yaml:132
+    # ``bundle_use_gps``); weights ~ 1/sd^2
 ):
     """Run LM; returns (cams, points, info dict)."""
     C = cams.shape[0]
@@ -173,6 +185,19 @@ def bundle_adjust(
         fix_mask = fix_mask.at[0].set(0.0)
     if fixed_cams is not None:
         fix_mask = fix_mask * (1.0 - fixed_cams.astype(jnp.float32)[:, None])
+
+    pp_pos, pp_w = (None, None) if point_priors is None else point_priors
+    cp_pos, cp_w = (None, None) if cam_pos_priors is None else cam_pos_priors
+
+    def _prior_cost(cams, points):
+        # same convention as _cost: sum of squared (sqrt-weighted) residuals
+        c = 0.0
+        if point_priors is not None:
+            c = c + jnp.sum(pp_w[:, None] * (points - pp_pos) ** 2)
+        if cam_pos_priors is not None:
+            centers = jax.vmap(camera_center)(cams)
+            c = c + jnp.sum(cp_w[:, None] * (centers - cp_pos) ** 2)
+        return c
 
     def linearize(cams, points):
         ce = cams[problem.cam_idx]  # [E, 6]
@@ -202,6 +227,21 @@ def bundle_adjust(
         ).reshape(P, 3, 3)
         gc = seg_cam(jnp.einsum("eri,er->ei", Jc, r))  # [C, 6]
         gp = seg_pt(jnp.einsum("eri,er->ei", Jp, r))  # [P, 3]
+        if point_priors is not None:
+            # GCP pulls: residual sqrt(w)(p - g) with J = sqrt(w) I adds
+            # w I to the point block and w (p - g) to its gradient
+            V = V + pp_w[:, None, None] * jnp.eye(3)
+            gp = gp + pp_w[:, None] * (points - pp_pos)
+        if cam_pos_priors is not None:
+            # GPS center priors: residual sqrt(w)(center(cam) - gps);
+            # exact per-camera Jacobian via jacfwd (6 params, 3 residuals)
+            def _cres(cam, pos, w):
+                return jnp.sqrt(w) * (camera_center(cam) - pos)
+
+            rc = jax.vmap(_cres)(cams, cp_pos, cp_w)  # [C, 3]
+            Jcp = jax.vmap(jax.jacfwd(_cres))(cams, cp_pos, cp_w)  # [C,3,6]
+            U = U + jnp.einsum("cri,crj->cij", Jcp, Jcp)
+            gc = gc + jnp.einsum("cri,cr->ci", Jcp, rc)
         U = U + lam * jnp.eye(6)
         V = V + lam * jnp.eye(3)
         V_inv = jnp.linalg.inv(V)  # [P, 3, 3]
@@ -262,7 +302,7 @@ def bundle_adjust(
         r_new, _, _ = linearize(cams_new, points_new)
         cost_new = _cost(
             r_new, jnp.ones(E), problem.valid
-        )
+        ) + _prior_cost(cams_new, points_new)
         accept = cost_new < cost
         cams = jnp.where(accept, cams_new, cams)
         points = jnp.where(accept, points_new, points)
@@ -272,7 +312,8 @@ def bundle_adjust(
         return cams, points, lam, cost, it + 1, accept
 
     r0, _, _ = linearize(cams, points)
-    cost0 = _cost(r0, jnp.ones(E), problem.valid)
+    cost0 = _cost(r0, jnp.ones(E), problem.valid) + _prior_cost(
+        cams, points)
     state = (cams, points, cfg.init_lambda, cost0, 0, True)
     state = jax.lax.fori_loop(
         0, cfg.max_iterations, lambda i, s: lm_step(s), state

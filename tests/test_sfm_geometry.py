@@ -250,3 +250,64 @@ class TestFivePoint:
         assert int(res.n_inliers) > 50
         ang, terr = self._pose_err(res.E, b1, b2, R_gt, t_gt)
         assert ang < 1.0 and terr < 2.0, (ang, terr)
+
+
+def rigs_R(rvec):
+    from splat_one_tpu.sfm.rigs import _rvec_to_R
+    return _rvec_to_R(np.asarray(rvec))
+
+
+class TestBAPriors:
+    """GCP point priors + GPS camera-center priors inside BA
+    (reference config.yaml:132-133 bundle_use_gps / bundle_use_gcp)."""
+
+    def _offset_problem(self):
+        tb = TestBundleAdjust()
+        cams_gt, X, problem = tb.make_problem(noise=1e-3)
+        # offset the whole initialization by a rigid translation: plain BA
+        # cannot recover the absolute frame (gauge freedom)
+        off = np.array([0.3, -0.2, 0.4], np.float32)
+        rng = np.random.default_rng(5)
+        cams0 = cams_gt.copy()
+        for c in range(len(cams0)):
+            R = np.asarray(rigs_R(cams0[c, :3]))
+            cams0[c, 3:] -= R @ off  # world shifted by +off
+        X0 = (X + off + rng.normal(0, 0.01, X.shape)).astype(np.float32)
+        return cams_gt, X, problem, cams0, X0, off
+
+    def test_gcp_point_priors_pin_absolute_frame(self):
+        cams_gt, X, problem, cams0, X0, off = self._offset_problem()
+        cfg = ba.BAConfig(max_iterations=15, cg_iterations=25,
+                          fix_first_camera=False)
+        # no priors: stays (up to gauge) in the offset frame
+        _, X_free, _ = ba.bundle_adjust(
+            jnp.asarray(cams0), jnp.asarray(X0), problem, cfg)
+        assert np.abs(np.asarray(X_free) - X).mean() > 0.1
+
+        w = np.zeros(len(X), np.float32)
+        w[:5] = 1e4  # 5 ground control points, strongly pinned
+        pos = jnp.asarray(X.astype(np.float32))
+        cams_p, X_p, info = ba.bundle_adjust(
+            jnp.asarray(cams0), jnp.asarray(X0), problem, cfg,
+            point_priors=(pos, jnp.asarray(w)))
+        assert np.abs(np.asarray(X_p) - X).mean() < 0.01
+        # cameras follow into the GT frame too
+        err = np.abs(np.asarray(cams_p) - cams_gt).max()
+        assert err < 0.02
+
+    def test_gps_camera_priors_pin_absolute_frame(self):
+        cams_gt, X, problem, cams0, X0, off = self._offset_problem()
+        cfg = ba.BAConfig(max_iterations=15, cg_iterations=25,
+                          fix_first_camera=False)
+        centers_gt = np.stack([
+            -rigs_R(c[:3]).T @ c[3:] for c in cams_gt
+        ]).astype(np.float32)
+        w = np.full(len(cams_gt), 1e3, np.float32)
+        cams_p, X_p, info = ba.bundle_adjust(
+            jnp.asarray(cams0), jnp.asarray(X0), problem, cfg,
+            cam_pos_priors=(jnp.asarray(centers_gt), jnp.asarray(w)))
+        centers = np.stack([
+            -rigs_R(c[:3]).T @ c[3:] for c in np.asarray(cams_p)
+        ])
+        assert np.abs(centers - centers_gt).mean() < 0.01
+        assert np.abs(np.asarray(X_p) - X).mean() < 0.02
