@@ -43,6 +43,12 @@ class ReconstructConfig:
     local_bundle_enabled: bool = True
     local_bundle_radius: int = 8  # movable covisible neighbours
     local_bundle_max_iterations: int = 6
+    # GPS inside BA (config.yaml:132 bundle_use_gps): before each global
+    # bundle the model is similarity-aligned to the GPS frame, then camera
+    # centers get soft priors with weight 1/gps_sd_m^2 (the Ceres
+    # position-prior analog). Requires gps_positions at reconstruct time.
+    bundle_use_gps: bool = False
+    gps_sd_m: float = 5.0
 
 
 @dataclasses.dataclass
@@ -127,6 +133,8 @@ def incremental_reconstruct(
     snapshot=None,  # callable(poses, points) after each registration —
     # feeds the live reconstruction viewer (reference
     # app/point_cloud_visualizer.py:195-224 live view)
+    gps_positions: Dict[int, np.ndarray] = None,  # image -> [3]
+    # topocentric meters; used when cfg.bundle_use_gps
 ) -> Reconstruction:
     key = jax.random.PRNGKey(seed)
     n_images = len(bearings)
@@ -208,6 +216,20 @@ def incremental_reconstruct(
         neighbours move; other cameras observing the window's points are
         included FIXED as boundary constraints."""
         nonlocal poses, points
+        use_gps = (
+            local_img is None and cfg.bundle_use_gps and gps_positions
+            and sum(im in gps_positions for im in poses) >= 3
+        )
+        if use_gps:
+            # align the model into the GPS frame first (OpenSfM aligns per
+            # bundle under align_method auto), so the soft center priors
+            # refine rather than fight the reconstruction
+            rec_tmp, _ = align_reconstruction_to_gps(
+                Reconstruction(dict(poses), dict(points), {}),
+                gps_positions,
+            )
+            poses = rec_tmp.poses
+            points = rec_tmp.points
         if local_img is None:
             img_list = sorted(poses)
             pt_list = sorted(points)
@@ -267,6 +289,16 @@ def incremental_reconstruct(
         cams = jnp.asarray(np.stack([poses[im] for im in img_list]))
         pts = jnp.asarray(np.stack([points[p] for p in pt_list]))
         is_local = local_img is not None
+        cam_pos_priors = None
+        if use_gps:
+            w_gps = 1.0 / max(cfg.gps_sd_m, 1e-3) ** 2
+            gpos = np.zeros((len(img_list), 3), np.float32)
+            gw = np.zeros((len(img_list),), np.float32)
+            for a, im in enumerate(img_list):
+                if im in gps_positions:
+                    gpos[a] = np.asarray(gps_positions[im], np.float32)
+                    gw[a] = w_gps
+            cam_pos_priors = (jnp.asarray(gpos), jnp.asarray(gw))
         cams, pts, info = ba_mod.bundle_adjust(
             cams, pts, problem,
             ba_mod.BAConfig(
@@ -274,14 +306,16 @@ def incremental_reconstruct(
                     cfg.local_bundle_max_iterations
                     if is_local else cfg.bundle_max_iterations
                 ),
-                # gauge: global BA pins the first camera; a local window is
-                # anchored by its fixed boundary cameras (or falls back to
-                # pinning when the window has no boundary)
+                # gauge: global BA pins the first camera (unless GPS priors
+                # fix the frame); a local window is anchored by its fixed
+                # boundary cameras (or falls back to pinning)
                 fix_first_camera=(
-                    not is_local or fixed is None or not fixed.any()
+                    not use_gps
+                    and (not is_local or fixed is None or not fixed.any())
                 ),
             ),
             fixed_cams=None if fixed is None else jnp.asarray(fixed),
+            cam_pos_priors=cam_pos_priors,
         )
         cams = np.asarray(cams)
         pts = np.asarray(pts)

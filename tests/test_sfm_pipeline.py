@@ -173,3 +173,45 @@ class TestVladPairs:
         # neighbours should overwhelmingly come from the same group
         same = sum(1 for i, j in pairs if i // 4 == j // 4)
         assert same / len(pairs) > 0.7, pairs
+
+
+class TestGPSBundle:
+    @pytest.mark.slow
+    def test_bundle_use_gps_lands_in_gps_frame(self):
+        """cfg.bundle_use_gps: per-bundle alignment + center priors put
+        the reconstruction directly in the GPS frame (reference
+        config.yaml:132), no separate post-alignment needed."""
+        poses_gt, X, bearings, descs, valids = synth_multiview(8, 300)
+        pairs = M.pairs_to_match(8)
+        matches = M.match_pairs_brute_force(descs, valids, pairs)
+        key = jax.random.PRNGKey(0)
+        filtered, counts = {}, {}
+        for (i, j), m in matches.items():
+            key, k1 = jax.random.split(key)
+            fm = M.robust_filter_matches(k1, m, bearings[i], bearings[j])
+            filtered[(i, j)] = fm
+            counts[(i, j)] = len(fm)
+        tracks, _ = T.build_tracks(filtered, [300] * 8, 2)
+
+        def center(p):
+            R = np.asarray(_rodrigues(jnp.asarray(p[:3])))
+            return -R.T @ p[3:]
+
+        # "GPS" = true centers in a shifted+scaled world frame, noisy
+        rng = np.random.default_rng(3)
+        gps = {
+            c: 4.0 * center(poses_gt[c]) + np.array([100.0, 50.0, 7.0])
+            + rng.normal(0, 0.02, 3)
+            for c in range(8)
+        }
+        rec = RC.incremental_reconstruct(
+            bearings, tracks, counts,
+            RC.ReconstructConfig(bundle_interval=3, bundle_use_gps=True,
+                                 gps_sd_m=0.05),
+            gps_positions=gps,
+        )
+        assert len(rec.poses) == 8, rec.report
+        errs = [np.linalg.norm(center(rec.poses[c]) - gps[c])
+                for c in range(8)]
+        # centers land in the absolute GPS frame (scene spread ~ 4x1.2 m)
+        assert max(errs) < 0.25, (errs, rec.report)
