@@ -52,6 +52,8 @@ def main(argv=None):
             sp.add_argument("--vlad-neighbors", type=int, default=0)
         if name in ("reconstruct", "run-all"):
             sp.add_argument("--live-viewer-port", type=int, default=0)
+            sp.add_argument("--bundle-use-gps", action="store_true")
+            sp.add_argument("--gps-sd-m", type=float, default=5.0)
 
     sp = sub.add_parser("create-masks")
     sp.add_argument("workdir")
@@ -116,7 +118,8 @@ def main(argv=None):
         print(f"built {n} tracks")
     elif args.cmd == "reconstruct":
         report = pipeline.reconstruct(
-            args.workdir, live_viewer_port=args.live_viewer_port
+            args.workdir, live_viewer_port=args.live_viewer_port,
+            bundle_use_gps=args.bundle_use_gps, gps_sd_m=args.gps_sd_m,
         )
         print(json.dumps(report, indent=2, default=str))
     elif args.cmd == "run-all":
@@ -128,7 +131,10 @@ def main(argv=None):
             args.workdir, progress=_progress("matching")
         )
         pipeline.create_tracks(args.workdir)
-        report = pipeline.reconstruct(args.workdir)
+        report = pipeline.reconstruct(
+            args.workdir, live_viewer_port=args.live_viewer_port,
+            bundle_use_gps=args.bundle_use_gps, gps_sd_m=args.gps_sd_m,
+        )
         print(json.dumps(report, indent=2, default=str))
     elif args.cmd == "create-masks":
         n = pipeline.create_masks(

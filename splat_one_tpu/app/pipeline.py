@@ -247,13 +247,17 @@ def create_tracks(workdir: str, min_track_length: int = 2) -> int:
 
 
 def reconstruct(workdir: str, progress: ProgressFn = None,
-                live_viewer_port: int = 0) -> Dict:
+                live_viewer_port: int = 0,
+                bundle_use_gps: bool = False,
+                gps_sd_m: float = 5.0) -> Dict:
     """tracks + features -> incremental SfM -> reconstruction.json
     (OpenSfM-compatible so data.opensfm.Parser reads it directly).
 
     ``live_viewer_port`` > 0 serves the live point-cloud/camera view while
     reconstruction runs (reference app/point_cloud_visualizer.py live
-    window)."""
+    window). ``bundle_use_gps`` reads per-image EXIF GPS, converts to a
+    local topocentric frame (UTM east/north + altitude, recentered) and
+    enforces it inside every global bundle (config.yaml:132)."""
     import jax.numpy as jnp
 
     from splat_one_tpu.app.image_processing import ImageProcessor
@@ -288,8 +292,32 @@ def reconstruct(workdir: str, progress: ProgressFn = None,
         url = viewer.serve_background()
         print(f"live reconstruction view: {url}")
         snapshot = viewer.update
+    gps_positions = None
+    cfg = RC.ReconstructConfig()
+    if bundle_use_gps:
+        from splat_one_tpu.data.opensfm import latlon_to_utm
+
+        gps_positions = {}
+        for i, name in enumerate(images):
+            g = _load_exif(workdir, name).get("gps", {})
+            if "latitude" in g:
+                e, n, _ = latlon_to_utm(g["latitude"], g["longitude"])
+                gps_positions[i] = np.asarray(
+                    [e, n, g.get("altitude", 0.0)], np.float64
+                )
+        if len(gps_positions) >= 3:
+            origin = np.mean(list(gps_positions.values()), axis=0)
+            gps_positions = {
+                i: (p - origin).astype(np.float32)
+                for i, p in gps_positions.items()
+            }
+            cfg = RC.ReconstructConfig(bundle_use_gps=True,
+                                       gps_sd_m=gps_sd_m)
+        else:
+            gps_positions = None
     rec = RC.incremental_reconstruct(
-        bearings, tracks, counts, snapshot=snapshot
+        bearings, tracks, counts, cfg=cfg, snapshot=snapshot,
+        gps_positions=gps_positions,
     )
 
     # export OpenSfM-compatible reconstruction.json
