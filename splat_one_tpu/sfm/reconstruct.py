@@ -520,3 +520,72 @@ def align_reconstruction_to_gps(
     rec_out = Reconstruction(poses_out, points_out,
                              {**rec.report, "gps_alignment": info})
     return rec_out, info
+
+
+def align_reconstruction_orientation(
+    rec: Reconstruction,
+    prior: str = "horizontal",
+) -> Tuple[Reconstruction, Dict]:
+    """GPS-free orientation alignment (reference ``align_method:
+    orientation_prior`` + ``align_orientation_prior``, config.yaml:130-131).
+
+    ``horizontal``: most capture rigs are held roughly level, so the mean
+    camera DOWN direction (+y row of the world->cam rotations) estimates
+    world gravity; rotate the world so it maps to -Z-up convention (+Z up,
+    gravity = -Z). ``vertical``: cameras point straight down (aerial);
+    the mean VIEW direction (+z row) is gravity. ``no_roll``: only remove
+    the average roll about each camera's view axis. The result keeps scale
+    and centroid — it is a pure world rotation."""
+    if not rec.poses:
+        return rec, {"aligned": False}
+    downs = []
+    for pose in rec.poses.values():
+        R = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        if prior == "vertical":
+            downs.append(R[2])  # viewing axis in world coords
+        else:
+            downs.append(R[1])  # camera down in world coords
+    g = np.mean(downs, axis=0)
+    ng = np.linalg.norm(g)
+    if ng < 1e-8:
+        return rec, {"aligned": False}
+    g = g / ng
+    target = np.array([0.0, 0.0, -1.0])  # gravity points to -Z (Z up)
+    if prior == "no_roll":
+        # project out: rotate so the average down has no component along
+        # the mean viewing axis (roll removal only)
+        target = g - np.array([0, 0, g[2]])
+        tn = np.linalg.norm(target)
+        if tn < 1e-8:
+            return rec, {"aligned": False}
+        target = np.array([target[0] / tn, target[1] / tn, 0.0])
+    v = np.cross(g, target)
+    c = float(np.dot(g, target))
+    s = np.linalg.norm(v)
+    if s < 1e-12:
+        R_w = np.eye(3) if c > 0 else -np.eye(3)
+    else:
+        K = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                      [-v[1], v[0], 0]]) / s
+        R_w = np.eye(3) + s * K + (1 - c) * (K @ K)
+    # recenter-preserving world rotation about the point centroid
+    pivot = (np.mean(list(rec.points.values()), axis=0)
+             if rec.points else np.zeros(3))
+    poses_out = {}
+    for im, pose in rec.poses.items():
+        Rc = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        cpos = -Rc.T @ pose[3:]
+        c_new = R_w @ (cpos - pivot) + pivot
+        Rc_new = Rc @ R_w.T
+        poses_out[im] = np.concatenate(
+            [_rvec_from_R(Rc_new), -Rc_new @ c_new]
+        ).astype(np.float32)
+    points_out = {
+        tid: (R_w @ (X - pivot) + pivot).astype(np.float32)
+        for tid, X in rec.points.items()
+    }
+    info = {"aligned": True, "prior": prior,
+            "rotation_deg": float(np.degrees(np.arccos(np.clip(c, -1, 1))))}
+    return Reconstruction(poses_out, points_out,
+                          {**rec.report, "orientation_alignment": info}), \
+        info

@@ -215,3 +215,39 @@ class TestGPSBundle:
                 for c in range(8)]
         # centers land in the absolute GPS frame (scene spread ~ 4x1.2 m)
         assert max(errs) < 0.25, (errs, rec.report)
+
+
+class TestOrientationAlignment:
+    def test_horizontal_prior_levels_the_world(self):
+        """align_orientation_prior: horizontal (config.yaml:130-131) — a
+        scene reconstructed in a tilted frame is rotated so the mean
+        camera-down direction becomes -Z (Z-up world)."""
+        from splat_one_tpu.sfm.rigs import _R_to_rvec, _rvec_to_R
+
+        rng = np.random.default_rng(0)
+        tilt = _rvec_to_R(np.array([np.deg2rad(25), 0, 0]))
+        poses, pts = {}, {}
+        for i in range(6):
+            R_cam = _rvec_to_R(np.array([0, 0.3 * i, 0]))  # level, yawing
+            R_w2c = R_cam @ tilt.T
+            c = tilt @ np.array([np.sin(0.3 * i), 0, np.cos(0.3 * i)])
+            poses[i] = np.concatenate(
+                [_R_to_rvec(R_w2c), -R_w2c @ c]).astype(np.float32)
+        for t in range(40):
+            pts[t] = (tilt @ rng.uniform(-1, 1, 3)).astype(np.float32)
+        rec = RC.Reconstruction(poses, pts, {})
+        rec2, info = RC.align_reconstruction_orientation(rec, "horizontal")
+        assert info["aligned"]
+        downs = np.stack([
+            np.asarray(_rvec_to_R(p[:3]))[1] for p in rec2.poses.values()
+        ])
+        g = downs.mean(0)
+        g /= np.linalg.norm(g)
+        assert np.allclose(g, [0, 0, -1], atol=1e-5)
+        # rigid: pairwise camera distances preserved
+        def centers(r):
+            return np.stack([
+                -_rvec_to_R(p[:3]).T @ p[3:] for p in r.poses.values()])
+        d1 = np.linalg.norm(centers(rec)[0] - centers(rec)[3])
+        d2 = np.linalg.norm(centers(rec2)[0] - centers(rec2)[3])
+        assert abs(d1 - d2) < 1e-5
