@@ -71,11 +71,11 @@ def rasterization_ring_sharded(
     n_local = N // n
     tw, th, sw, sh = si_mod.supertile_grid(width, height, tile_size)
     cs_global = C * sw * sh
-    if cs_global % n != 0:
-        raise ValueError(
-            f"(camera, supertile) grid {cs_global} not divisible by {n}"
-        )
-    cs_local = cs_global // n
+    # pad the (camera, supertile) grid to a device multiple: trailing
+    # phantom supertiles get empty stream ranges (no gaussian maps to an
+    # out-of-range supertile id), render as background on the last device,
+    # and are sliced off before image assembly — any ring size works
+    cs_local = -(-cs_global // n)
     if caps is None:
         # per-slab cap: the global intersection budget split over n slabs,
         # with 3x slack because supertile load is far from uniform (central
@@ -143,7 +143,8 @@ def rasterization_ring_sharded(
     )
     alive_in = alive if alive is not None else jnp.zeros((n,), jnp.bool_)
     out = sharded(means, quats, scales, opacities, sh_coeffs, alive_in,
-                  viewmats, Ks)  # [cs_global, NT, OUT_CH, P]
+                  viewmats, Ks)  # [cs_local * n, NT, OUT_CH, P]
+    out = out[:cs_global]
     full_cfg = StreamCfg(
         width=width, height=height, tile_size=tile_size,
         num_cameras=C, num_gaussians=N, chunk=caps.chunk,

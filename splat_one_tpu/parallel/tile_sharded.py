@@ -64,11 +64,11 @@ def rasterization_tile_sharded(
     tw = -(-width // tile_size)
     th = -(-height // tile_size)
     ct_global = C * tw * th
-    if ct_global % n_dev != 0:
-        raise ValueError(
-            f"total tiles {ct_global} not divisible by mesh axis {n_dev}"
-        )
-    ct_local = ct_global // n_dev
+    # pad the (camera, tile) grid to a device multiple: trailing phantom
+    # tiles get empty intersection ranges (no gaussian bbox maps to an
+    # out-of-range tile id), render as background, and are sliced off
+    # before image assembly — any mesh size works
+    ct_local = -(-ct_global // n_dev)
     if caps is None:
         caps = IsectCaps.choose(
             N, C, ct_local, avg_tiles_per_gaussian=8.0
@@ -113,8 +113,8 @@ def rasterization_tile_sharded(
     )
     tile_out = sharded(
         means, quats, scales, opacities, sh_coeffs, viewmats, Ks
-    )  # [ct_global, OUT_CH, P]
-    return tile_raster.tiles_to_image(cfg, tile_out)
+    )  # [ct_local * n_dev, OUT_CH, P]
+    return tile_raster.tiles_to_image(cfg, tile_out[:ct_global])
 
 
 @functools.lru_cache(maxsize=16)

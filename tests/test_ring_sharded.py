@@ -73,3 +73,37 @@ def test_ring_matches_single(n_dev):
         d = np.abs(np.asarray(a_) - np.asarray(b_)).max()
         s = np.abs(np.asarray(b_)).max() + 1e-8
         assert d / s < 5e-4, (d, s)
+
+
+@pytest.mark.parametrize("n_dev", [8])
+def test_ring_nondivisible_grid(n_dev):
+    """96x64 @ 2 cams -> 12 (camera, supertile) cells over 8 devices:
+    the padded-slab path (phantom supertiles) must match single-device."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs virtual devices")
+    W, H = 96, 64
+    args = make_scene(w=W, h=H)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("shard",))
+
+    def loss_ring(means):
+        rgb, a, d = rasterization_ring_sharded(
+            means, *args[1:5], args[5], args[6], W, H, mesh, sh_degree=1,
+        )
+        wts = jnp.linspace(0.5, 1.5, rgb.size).reshape(rgb.shape)
+        return jnp.sum(rgb * wts) + 0.3 * jnp.sum(a) + jnp.sum(d)
+
+    def loss_single(means):
+        render, a, _ = rasterization(
+            means, *args[1:5], args[5], args[6], W, H,
+            sh_degree=1, render_mode="RGB+ED", impl="stream",
+        )
+        rgb, d = render[..., :3], render[..., 3:]
+        wts = jnp.linspace(0.5, 1.5, rgb.size).reshape(rgb.shape)
+        return jnp.sum(rgb * wts) + 0.3 * jnp.sum(a) + jnp.sum(d)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ring))(args[0])
+    l2, g2 = jax.jit(jax.value_and_grad(loss_single))(args[0])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    d = np.abs(np.asarray(g1) - np.asarray(g2)).max()
+    s = np.abs(np.asarray(g2)).max() + 1e-8
+    assert d / s < 5e-4, (d, s)

@@ -91,3 +91,23 @@ class TestTileSharded:
         )
         np.testing.assert_allclose(rgb_s, render, atol=1e-5)
         np.testing.assert_allclose(a_s, alpha, atol=1e-5)
+
+
+class TestNonDivisibleTiles:
+    def test_forward_parity_padded_grid(self):
+        """64x48 -> 4x3 = 12 tiles over 8 devices (non-divisible): the
+        padded phantom-tile path must reproduce single-device exactly."""
+        w, h = 64, 48
+        means, quats, scales, opac, sh, viewmats, Ks = make_scene(200)
+        mesh = _mesh(8)
+        rgb_s, a_s, d_s = rasterization_tile_sharded(
+            means, quats, scales, opac, sh, viewmats, Ks, w, h, mesh,
+            sh_degree=1,
+        )
+        caps = IsectCaps.choose(200, 1, 12)
+        render, alpha, _ = rasterization(
+            means, quats, scales, opac, sh, viewmats, Ks, w, h,
+            sh_degree=1, render_mode="RGB+ED", caps=caps,
+        )
+        np.testing.assert_allclose(rgb_s, render[..., 0:3], atol=1e-5)
+        np.testing.assert_allclose(a_s, alpha, atol=1e-5)
