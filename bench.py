@@ -32,7 +32,30 @@ IMPL = os.environ.get("SPLAT_BENCH_IMPL", "stream")
 CHUNK = int(os.environ.get("SPLAT_BENCH_CHUNK", "128"))  # kernel chunk G
 
 
+def _watchdog(seconds: float):
+    """Hard-exit if the TPU tunnel wedges (observed: a dead axon relay
+    blocks jax.devices() forever) — the driver gets a clean failure
+    instead of an infinite hang."""
+    import threading
+
+    def boom():
+        import sys
+
+        print(
+            f"bench watchdog: no result within {seconds:.0f}s "
+            "(TPU tunnel unresponsive?)",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(1)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    wd = _watchdog(float(os.environ.get("SPLAT_BENCH_TIMEOUT", "1200")))
     import jax
     import jax.numpy as jnp
 
@@ -115,6 +138,7 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / NOMINAL_GPU_MPIX_S, 3),
     }
+    wd.cancel()
     print(json.dumps(out))
 
 
