@@ -46,13 +46,13 @@ def main():
         batch_size=1,
         test_every=8,
         result_dir="results/quality_bench",
+        # CPU A/B (r2): 4x more splats at the same step budget did NOT move
+        # PSNR — quality here is STEP-bound, not splat-bound; run with
+        # QB_STEPS>=12000 for a quality-tier number
         strategy=DefaultStrategyCfg(
             refine_start_iter=steps // 10,
-            # longer growth window + lower grad threshold: the r2 run
-            # underfit badly (6.2k splats vs 20k GT -> val PSNR 15.6)
             refine_stop_iter=(3 * steps) // 4,
             refine_every=max(steps // 40, 1),
-            grow_grad2d=1e-4,
             reset_every=10 * steps,  # opacity reset off for short runs
         ),
     )
