@@ -253,6 +253,34 @@ def build_stream_intersections(
     span_x = jnp.where(valid, span_x, 0)
     span_y = jnp.where(valid, span_y, 0)
     counts = (span_x * span_y).astype(jnp.int32)
+    span_p = jnp.maximum(span_x, 1)
+    kA = jnp.zeros((M0,), jnp.int32)
+    local_counts = n_st_local and camera_model != "spherical"
+    if local_counts:
+        # Per-SLAB counts (the supertile-sharded path): a gaussian's flat
+        # supertile ids are monotone along its row-major bbox enumeration
+        # k, so the cells inside the slab [st_lo, st_lo + CS) form one
+        # contiguous subrange [kA, kB) with closed-form bounds. Expansion
+        # then enumerates ONLY local intersections, so exp_cap is a true
+        # per-device budget (memory and glue scale with the slab, not the
+        # global count). Spherical bboxes wrap in azimuth (non-monotone
+        # flat ids) and keep the global-enumeration + mask path.
+        cam_g = jnp.arange(M0, dtype=jnp.int32) // N
+        base = cam_g * NS + sy0 * sw + sx0
+
+        def k_bound(limit):
+            q = limit - base
+            r0 = jnp.floor_divide(q, sw)
+            in_row = q - r0 * sw  # in [0, sw)
+            k = jnp.where(
+                in_row < span_p,
+                r0 * span_p + in_row,  # limit inside row r0's cells
+                (r0 + 1) * span_p,  # in the gap after row r0's cells
+            )
+            return jnp.clip(k, 0, counts)
+
+        kA = k_bound(st_lo)
+        counts = jnp.maximum(k_bound(st_lo + CS) - kA, 0)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
     )
@@ -267,10 +295,10 @@ def build_stream_intersections(
         [
             sx0.astype(jnp.float32),
             sy0.astype(jnp.float32),
-            jnp.maximum(span_x, 1).astype(jnp.float32),
+            span_p.astype(jnp.float32),
             offsets.astype(jnp.float32),
             proj.depths.reshape(M0),
-            jnp.zeros((M0,), jnp.float32),
+            kA.astype(jnp.float32),
             jnp.zeros((M0,), jnp.float32),
             jnp.zeros((M0,), jnp.float32),
         ],
@@ -279,7 +307,10 @@ def build_stream_intersections(
     meta_s = meta[g_of_s]  # [EXP, 8]
     slot_ids = jnp.arange(EXP, dtype=jnp.int32)
     slot_ok = slot_ids < jnp.minimum(n_isect, EXP)
-    local = slot_ids - meta_s[:, 3].astype(jnp.int32)
+    # absolute bbox-enumeration index (slab path starts runs at kA)
+    local = slot_ids - meta_s[:, 3].astype(jnp.int32) + (
+        meta_s[:, 5].astype(jnp.int32)
+    )
     sxx = meta_s[:, 2].astype(jnp.int32)
     lx = local % sxx
     ly = local // sxx

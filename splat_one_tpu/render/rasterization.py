@@ -71,6 +71,12 @@ def rasterization(
     absgrad_dummy: Optional[jax.Array] = None,  # [C, N, 2] absgrad hook
     impl: Optional[str] = None,  # "stream" | "tiled"; inferred from caps
     proj_transform=None,  # Projected -> Projected, applied after projection
+    st_shard: Optional[tuple] = None,  # (axis_name, n_shards): under
+    # shard_map, partition the (camera, supertile) grid over the named mesh
+    # axis — each device builds intersections and composites only its slab
+    # (caps are PER-SLAB), slabs are all_gather'd for image assembly. This
+    # removes the n-fold compositing redundancy of gathering projections
+    # onto every shard (stream impl only).
 ):
     """Render gaussians into C cameras. Fully differentiable.
 
@@ -118,23 +124,59 @@ def rasterization(
     proj_sg = jax.lax.stop_gradient(proj)
 
     if impl == "stream":
+        _, _, sw, sh = si_mod.supertile_grid(width, height, tile_size)
         if not isinstance(caps, StreamCaps):
-            _, _, sw, sh = si_mod.supertile_grid(width, height, tile_size)
             caps = StreamCaps.choose(N, C, C * sw * sh)
-        cfg = StreamCfg.from_caps(
+        full_cfg = StreamCfg.from_caps(
             caps, width, height, tile_size, C, N,
             wrap_x=(camera_model == "spherical"),
             absgrad=(absgrad_dummy is not None),
         )
-        isect = si_mod.build_stream_intersections(
-            proj_sg, width, height, tile_size, caps,
-            camera_model=camera_model,
-        )
-        out = stream_raster.composite_stream(
-            cfg, means2d, proj.conics, proj.colors, proj.opacities,
-            proj.depths, proj_sg.radii, isect, abs_dummy=absgrad_dummy,
-        )
-        rgb, alpha, depth = stream_raster.stream_to_image(cfg, out)
+        if st_shard is not None:
+            # slab-shard the (camera, supertile) grid over the mesh axis:
+            # ceil-padded slabs (phantom cells stay empty), per-slab isect
+            # + compositing, one tiled all_gather of the slab outputs
+            axis_name, n_sh = st_shard
+            cs_global = C * sw * sh
+            cs_local = -(-cs_global // n_sh)
+            st_lo = (
+                jax.lax.axis_index(axis_name) * cs_local
+            ).astype(jnp.int32)
+            cfg = StreamCfg(
+                width=width, height=height, tile_size=tile_size,
+                num_cameras=C, num_gaussians=N, chunk=caps.chunk,
+                exp_cap=caps.exp_cap, n_supertiles=sw * sh,
+                wrap_x=(camera_model == "spherical"),
+                absgrad=(absgrad_dummy is not None), ss=caps.ss,
+                cs_local=cs_local,
+            )
+            isect = si_mod.build_stream_intersections(
+                proj_sg, width, height, tile_size, caps,
+                camera_model=camera_model,
+                st_lo=st_lo, n_st_local=cs_local,
+            )
+            out = stream_raster.composite_stream(
+                cfg, means2d, proj.conics, proj.colors, proj.opacities,
+                proj.depths, proj_sg.radii, isect,
+                abs_dummy=absgrad_dummy, tile_offset=st_lo[None],
+            )
+            out = jax.lax.all_gather(
+                out, axis_name, axis=0, tiled=True
+            )[:cs_global]
+            rgb, alpha, depth = stream_raster.stream_to_image(
+                full_cfg, out
+            )
+        else:
+            cfg = full_cfg
+            isect = si_mod.build_stream_intersections(
+                proj_sg, width, height, tile_size, caps,
+                camera_model=camera_model,
+            )
+            out = stream_raster.composite_stream(
+                cfg, means2d, proj.conics, proj.colors, proj.opacities,
+                proj.depths, proj_sg.radii, isect, abs_dummy=absgrad_dummy,
+            )
+            rgb, alpha, depth = stream_raster.stream_to_image(cfg, out)
     else:
         if not isinstance(caps, IsectCaps):
             tw = -(-width // tile_size)
@@ -165,13 +207,21 @@ def rasterization(
     else:  # ED / D
         render = depth
 
+    n_isect = isect.n_isect
+    overflow = isect.overflow
+    if st_shard is not None:
+        # per-slab caps: growth must track the max slab load; overflow
+        # anywhere is overflow everywhere (all shards share static caps)
+        n_isect = jax.lax.pmax(n_isect, st_shard[0])
+        overflow = jax.lax.psum(
+            overflow.astype(jnp.int32), st_shard[0]) > 0
     info = {
         "radii": proj.radii,
         "radii_local": radii_local,
         "depths": proj.depths,
         "valid": proj.valid,
-        "n_isect": isect.n_isect,
-        "overflow": isect.overflow,
+        "n_isect": n_isect,
+        "overflow": overflow,
         "width": width,
         "height": height,
         "n_cameras": C,

@@ -245,6 +245,15 @@ class Trainer:
             _, _, sw, sh = supertile_grid(
                 self.width, self.height, cfg.tile_size
             )
+            if self.mesh is not None and self.cfg.camera_model != (
+                    "spherical"):
+                # supertile-slab sharding over the gauss axis: exact
+                # per-slab intersection counts (ops.stream_isect), so the
+                # cap is a per-device budget — mean/n with 4x slack for
+                # slab load imbalance (center slabs see several times the
+                # mean); overflow triggers the usual growth recompile
+                n_g = self.mesh.shape["gauss"]
+                mult = max(mult * 4.0 / n_g, 0.75)
             return StreamCaps.choose(
                 capacity, cfg.batch_size, cfg.batch_size * sw * sh,
                 avg_supertiles_per_gaussian=mult,
@@ -310,6 +319,14 @@ class Trainer:
                 return key
             return jax.random.fold_in(key, jax.lax.axis_index("gauss"))
 
+        # supertile-slab sharding over the gauss axis (stream impl): each
+        # device composites only its slab of the (camera, supertile) grid
+        # instead of redundantly compositing every camera n_gauss times
+        st_shard = (
+            ("gauss", n_gauss)
+            if sharded and cfg.raster_impl == "stream" else None
+        )
+
         strat_cfg = cfg.strategy
         if sharded and is_mcmc:
             # per-shard splat budget: each gauss shard runs MCMC relocation
@@ -367,6 +384,7 @@ class Trainer:
                 caps=caps, alive=alive,
                 means2d_dummy=dummy,
                 proj_transform=(gather_gauss if sharded else None),
+                st_shard=st_shard,
             )
             return render, alpha, info
 
@@ -397,6 +415,7 @@ class Trainer:
                 means2d_dummy=dummies["m2d"],
                 absgrad_dummy=(dummies["abs"] if use_abs else None),
                 proj_transform=(gather_gauss if sharded else None),
+                st_shard=st_shard,
             )
             rgb = render[..., 0:3]
             depth_r = render[..., 3:4]
