@@ -78,8 +78,10 @@ def rasterization_ring_sharded(
     cs_local = -(-cs_global // n)
     if caps is None:
         # per-slab cap: the global intersection budget split over n slabs,
-        # with 3x slack because supertile load is far from uniform (central
-        # slabs see several times the mean) — overflow silently truncates
+        # with 4x slack because supertile load is far from uniform (central
+        # slabs see several times the mean). For pinhole, stream_isect
+        # counts in-slab intersections EXACTLY (contiguous bbox subrange),
+        # so this is a true per-device budget; overflow raises the flag.
         caps = StreamCaps.choose(
             N, C, cs_local, avg_supertiles_per_gaussian=12.0 / n
         )
