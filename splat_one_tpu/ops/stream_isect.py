@@ -252,21 +252,43 @@ def build_stream_intersections(
         span_x = jnp.maximum(sx1 - sx0, 0)
     span_x = jnp.where(valid, span_x, 0)
     span_y = jnp.where(valid, span_y, 0)
-    counts = (span_x * span_y).astype(jnp.int32)
-    span_p = jnp.maximum(span_x, 1)
-    kA = jnp.zeros((M0,), jnp.int32)
-    local_counts = n_st_local and camera_model != "spherical"
+
+    # "Parents" of the expansion. Normally one per (camera, gaussian); in
+    # the supertile-SHARDED spherical path each gaussian becomes TWO
+    # unwrapped virtual segments (cols [sx0, sw) and [0, remainder)) so the
+    # monotone-enumeration slab math below applies to panoramas too.
+    seg_spherical = bool(n_st_local) and camera_model == "spherical"
+    if seg_spherical:
+        span_a = jnp.minimum(span_x, sw - sx0)
+        span_b = span_x - span_a
+        sx0_p = jnp.stack([sx0, jnp.zeros_like(sx0)], 1).reshape(2 * M0)
+        span_xp = jnp.stack([span_a, span_b], 1).reshape(2 * M0)
+        sy0_p = jnp.repeat(sy0, 2)
+        span_yp = jnp.repeat(span_y, 2)
+        depth_p = jnp.repeat(proj.depths.reshape(M0), 2)
+        real_p = jnp.repeat(jnp.arange(M0, dtype=jnp.int32), 2)
+        MP = 2 * M0
+    else:
+        sx0_p, span_xp, sy0_p, span_yp = sx0, span_x, sy0, span_y
+        depth_p = proj.depths.reshape(M0)
+        real_p = jnp.arange(M0, dtype=jnp.int32)
+        MP = M0
+    counts = (span_xp * span_yp).astype(jnp.int32)
+    span_p = jnp.maximum(span_xp, 1)
+    kA = jnp.zeros((MP,), jnp.int32)
+    local_counts = bool(n_st_local) and (
+        camera_model != "spherical" or seg_spherical
+    )
     if local_counts:
-        # Per-SLAB counts (the supertile-sharded path): a gaussian's flat
+        # Per-SLAB counts (the supertile-sharded path): a parent's flat
         # supertile ids are monotone along its row-major bbox enumeration
         # k, so the cells inside the slab [st_lo, st_lo + CS) form one
         # contiguous subrange [kA, kB) with closed-form bounds. Expansion
         # then enumerates ONLY local intersections, so exp_cap is a true
         # per-device budget (memory and glue scale with the slab, not the
-        # global count). Spherical bboxes wrap in azimuth (non-monotone
-        # flat ids) and keep the global-enumeration + mask path.
-        cam_g = jnp.arange(M0, dtype=jnp.int32) // N
-        base = cam_g * NS + sy0 * sw + sx0
+        # global count).
+        cam_p = real_p // N
+        base = cam_p * NS + sy0_p * sw + sx0_p
 
         def k_bound(limit):
             q = limit - base
@@ -290,20 +312,20 @@ def build_stream_intersections(
     # 2. expansion + 3. ONE meta row gather. All meta values are exact in
     # f32 (supertile coords < 2^7, offsets < 2^24), so depth rides along in
     # the same table and the whole thing is a single rate-bound gather.
-    g_of_s = _expand_index(offsets, EXP)  # [EXP] slot -> flat gaussian
+    g_of_s = _expand_index(offsets, EXP)  # [EXP] slot -> parent index
     meta = jnp.stack(
         [
-            sx0.astype(jnp.float32),
-            sy0.astype(jnp.float32),
+            sx0_p.astype(jnp.float32),
+            sy0_p.astype(jnp.float32),
             span_p.astype(jnp.float32),
             offsets.astype(jnp.float32),
-            proj.depths.reshape(M0),
+            depth_p,
             kA.astype(jnp.float32),
-            jnp.zeros((M0,), jnp.float32),
-            jnp.zeros((M0,), jnp.float32),
+            jnp.zeros((MP,), jnp.float32),
+            jnp.zeros((MP,), jnp.float32),
         ],
         axis=1,
-    )  # [M0, 8]
+    )  # [MP, 8]
     meta_s = meta[g_of_s]  # [EXP, 8]
     slot_ids = jnp.arange(EXP, dtype=jnp.int32)
     slot_ok = slot_ids < jnp.minimum(n_isect, EXP)
@@ -315,10 +337,13 @@ def build_stream_intersections(
     lx = local % sxx
     ly = local // sxx
     st_x = meta_s[:, 0].astype(jnp.int32) + lx
-    if camera_model == "spherical":
-        st_x = jnp.mod(st_x, sw)
+    if camera_model == "spherical" and not seg_spherical:
+        st_x = jnp.mod(st_x, sw)  # segmented parents are pre-unwrapped
     st_y = meta_s[:, 1].astype(jnp.int32) + ly
-    cam = g_of_s // N
+    # real flat (camera, gaussian) id of each slot (parents are interleaved
+    # as 2*g + segment in the segmented-spherical path)
+    g_real_s = g_of_s // 2 if seg_spherical else g_of_s
+    cam = g_real_s // N
     st_id = cam * NS + st_y * sw + st_x
     if n_st_local:
         st_id = st_id - st_lo
@@ -328,9 +353,11 @@ def build_stream_intersections(
 
     # 4. ONE stable two-key sort: (supertile, depth), payload = gaussian.
     # Stability breaks depth ties by expansion order == original index order
-    # (matching the oracle's stable per-camera depth argsort).
+    # (matching the oracle's stable per-camera depth argsort; the two
+    # segments of one gaussian never share a supertile, so segmentation
+    # cannot reorder ties).
     sorted_st, _, sorted_g = jax.lax.sort(
-        [st_id, depth_s, g_of_s], is_stable=True, num_keys=2
+        [st_id, depth_s, g_real_s], is_stable=True, num_keys=2
     )
 
     # 5. per-supertile ranges + G-aligned grad-row starts (scalars only).

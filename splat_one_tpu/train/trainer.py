@@ -245,12 +245,12 @@ class Trainer:
             _, _, sw, sh = supertile_grid(
                 self.width, self.height, cfg.tile_size
             )
-            if self.mesh is not None and self.cfg.camera_model != (
-                    "spherical"):
+            if self.mesh is not None:
                 # supertile-slab sharding over the gauss axis: exact
-                # per-slab intersection counts (ops.stream_isect), so the
-                # cap is a per-device budget — mean/n with 4x slack for
-                # slab load imbalance (center slabs see several times the
+                # per-slab intersection counts (ops.stream_isect; spherical
+                # bboxes are segmented into unwrapped halves), so the cap
+                # is a per-device budget — mean/n with 4x slack for slab
+                # load imbalance (center slabs see several times the
                 # mean); overflow triggers the usual growth recompile
                 n_g = self.mesh.shape["gauss"]
                 mult = max(mult * 4.0 / n_g, 0.75)

@@ -107,3 +107,51 @@ def test_ring_nondivisible_grid(n_dev):
     d = np.abs(np.asarray(g1) - np.asarray(g2)).max()
     s = np.abs(np.asarray(g2)).max() + 1e-8
     assert d / s < 5e-4, (d, s)
+
+
+@pytest.mark.parametrize("n_dev", [8])
+def test_ring_spherical_segmented_slabs(n_dev):
+    """Spherical (equirect) ring sharding: wrapped gaussians are split
+    into two unwrapped virtual segments so per-slab intersection counts
+    are exact; must match the single-device spherical stream renderer."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs virtual devices")
+    W, H = 128, 64
+    rng = np.random.default_rng(7)
+    n, c = 512, 1
+    means = rng.normal(scale=2.0, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(rng.normal(-2.2, 0.4, (n, 3))).astype(np.float32)
+    opac = (1 / (1 + np.exp(-rng.normal(size=n)))).astype(np.float32)
+    sh = (rng.normal(size=(n, 4, 3)) * 0.3).astype(np.float32)
+    vm = np.eye(4, dtype=np.float32)[None]
+    Ks = np.array([[[W / (2 * np.pi), 0, W / 2],
+                    [0, W / (2 * np.pi), H / 2], [0, 0, 1]]], np.float32)
+    args = tuple(jnp.asarray(x)
+                 for x in (means, quats, scales, opac, sh, vm, Ks))
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("shard",))
+
+    def loss_ring(means):
+        rgb, a, d = rasterization_ring_sharded(
+            means, *args[1:5], args[5], args[6], W, H, mesh,
+            sh_degree=1, camera_model="spherical",
+        )
+        wts = jnp.linspace(0.5, 1.5, rgb.size).reshape(rgb.shape)
+        return jnp.sum(rgb * wts) + 0.3 * jnp.sum(a) + jnp.sum(d)
+
+    def loss_single(means):
+        render, a, _ = rasterization(
+            means, *args[1:5], args[5], args[6], W, H,
+            sh_degree=1, render_mode="RGB+ED", impl="stream",
+            camera_model="spherical",
+        )
+        rgb, d = render[..., :3], render[..., 3:]
+        wts = jnp.linspace(0.5, 1.5, rgb.size).reshape(rgb.shape)
+        return jnp.sum(rgb * wts) + 0.3 * jnp.sum(a) + jnp.sum(d)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ring))(args[0])
+    l2, g2 = jax.jit(jax.value_and_grad(loss_single))(args[0])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    d = np.abs(np.asarray(g1) - np.asarray(g2)).max()
+    s = np.abs(np.asarray(g2)).max() + 1e-8
+    assert d / s < 5e-4, (d, s)
