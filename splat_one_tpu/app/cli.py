@@ -88,6 +88,13 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=8081)
     sp.add_argument("--checkpoint", default=None)
 
+    sp = sub.add_parser("visualize-features")
+    sp.add_argument("workdir")
+    sp = sub.add_parser("visualize-matches")
+    sp.add_argument("workdir")
+    sp.add_argument("image_a")
+    sp.add_argument("image_b")
+
     args = p.parse_args(argv)
     from splat_one_tpu.app import pipeline
 
@@ -186,6 +193,14 @@ def main(argv=None):
 
         MaskUIServer(args.workdir, checkpoint=args.checkpoint,
                      port=args.port).serve_forever()
+    elif args.cmd == "visualize-features":
+        n = pipeline.visualize_features(args.workdir)
+        print(f"wrote {n} keypoint previews to previews/features/")
+    elif args.cmd == "visualize-matches":
+        p = pipeline.visualize_matches(
+            args.workdir, args.image_a, args.image_b
+        )
+        print(f"wrote {p}")
     print(f"[{args.cmd}] done in {time.time() - t0:.1f}s")
 
 

@@ -409,3 +409,75 @@ def create_masks(
         if progress:
             progress(i + 1, len(clicks))
     return n
+
+
+def visualize_features(workdir: str, out_dir: Optional[str] = None) -> int:
+    """Keypoint-overlay PNGs per image (the reference's feature preview,
+    app/feature_extractor.py:440-459) -> ``previews/features/<img>.png``."""
+    from PIL import Image, ImageDraw
+
+    proc_dir = out_dir or os.path.join(workdir, "previews", "features")
+    os.makedirs(proc_dir, exist_ok=True)
+    from splat_one_tpu.app.image_processing import ImageProcessor
+
+    n = 0
+    for name in ImageProcessor(workdir).list_images():
+        fpath = os.path.join(workdir, "features", name + ".features.npz")
+        if not os.path.exists(fpath):
+            continue
+        z = np.load(fpath)
+        img = Image.open(
+            os.path.join(workdir, "images", name)
+        ).convert("RGB")
+        sx = img.width / float(z["width"])
+        sy = img.height / float(z["height"])
+        draw = ImageDraw.Draw(img)
+        for (x, y), ok in zip(z["xys"], z["valid"]):
+            if not ok:
+                continue
+            x, y = x * sx, y * sy
+            draw.ellipse([x - 2, y - 2, x + 2, y + 2], outline=(0, 255, 0))
+        img.save(os.path.join(proc_dir, name + ".png"))
+        n += 1
+    return n
+
+
+def visualize_matches(workdir: str, image_a: str, image_b: str,
+                      out_path: Optional[str] = None) -> str:
+    """Side-by-side match visualization for one pair (the reference's
+    match preview, app/feature_matching.py:395-431)."""
+    from PIL import Image, ImageDraw
+
+    with open(os.path.join(workdir, "matches", "matches.json")) as f:
+        raw = json.load(f)
+    key = f"{image_a}|{image_b}"
+    key_r = f"{image_b}|{image_a}"
+    if key in raw:
+        pairs = np.asarray(raw[key], np.int64)
+    elif key_r in raw:
+        pairs = np.asarray(raw[key_r], np.int64)[:, ::-1]
+    else:
+        raise KeyError(f"no matches stored for pair {image_a}, {image_b}")
+    za = np.load(os.path.join(workdir, "features",
+                              image_a + ".features.npz"))
+    zb = np.load(os.path.join(workdir, "features",
+                              image_b + ".features.npz"))
+    ia = Image.open(os.path.join(workdir, "images", image_a)).convert("RGB")
+    ib = Image.open(os.path.join(workdir, "images", image_b)).convert("RGB")
+    h = max(ia.height, ib.height)
+    canvas = Image.new("RGB", (ia.width + ib.width, h))
+    canvas.paste(ia, (0, 0))
+    canvas.paste(ib, (ia.width, 0))
+    draw = ImageDraw.Draw(canvas)
+    sa = (ia.width / float(za["width"]), ia.height / float(za["height"]))
+    sb = (ib.width / float(zb["width"]), ib.height / float(zb["height"]))
+    for fa, fb in pairs[:500]:
+        xa, ya = za["xys"][fa] * sa
+        xb, yb = zb["xys"][fb] * sb
+        draw.line([xa, ya, ia.width + xb, yb], fill=(0, 200, 0), width=1)
+    out_path = out_path or os.path.join(
+        workdir, "previews", f"matches_{image_a}_{image_b}.png"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    canvas.save(out_path)
+    return out_path

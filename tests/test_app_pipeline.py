@@ -205,3 +205,43 @@ class TestLiveReconViewer:
             assert b"canvas" in page
         finally:
             v.close()
+
+
+class TestVisualizations:
+    def test_feature_and_match_previews(self, tmp_path):
+        """Keypoint overlays + side-by-side match view (reference
+        feature_extractor.py:440-459, feature_matching.py:395-431)."""
+        import json as _json
+
+        from PIL import Image
+
+        from splat_one_tpu.app import pipeline
+
+        wd = tmp_path / "wd"
+        (wd / "images").mkdir(parents=True)
+        (wd / "features").mkdir()
+        (wd / "matches").mkdir()
+        rng = np.random.default_rng(0)
+        for name in ("a.jpg", "b.jpg"):
+            Image.fromarray(
+                rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            ).save(wd / "images" / name)
+            np.savez(
+                wd / "features" / (name + ".features.npz"),
+                xys=rng.uniform(0, 48, (20, 2)).astype(np.float32),
+                descriptors=np.zeros((20, 8), np.float32),
+                scores=np.ones(20, np.float32),
+                valid=np.ones(20, bool),
+                bearings=np.zeros((20, 3), np.float32),
+                width=64, height=48,
+            )
+        with open(wd / "matches" / "matches.json", "w") as f:
+            _json.dump({"a.jpg|b.jpg": [[0, 1], [2, 3], [5, 5]]}, f)
+        n = pipeline.visualize_features(str(wd))
+        assert n == 2
+        assert (wd / "previews" / "features" / "a.jpg.png").exists()
+        p = pipeline.visualize_matches(str(wd), "a.jpg", "b.jpg")
+        img = Image.open(p)
+        assert img.size == (128, 48)
+        # reversed order resolves through the stored key too
+        pipeline.visualize_matches(str(wd), "b.jpg", "a.jpg")
