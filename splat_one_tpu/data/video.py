@@ -77,6 +77,63 @@ def parse_gpx(gpx_path: str) -> List[Dict]:
     return sorted(pts, key=lambda p: p["time_s"])
 
 
+def parse_nmea(nmea_path: str) -> List[Dict]:
+    """NMEA-0183 log -> [{time_s, lat, lon, alt}] sorted by time (the
+    reference's ``--geotag_source nmea`` via mapillary_tools,
+    app/main_app.py:248-264).
+
+    Reads $G?RMC sentences for date+time+position and $G?GGA for
+    altitude (matched by time-of-day). Positions are ddmm.mmmm with
+    N/S/E/W hemisphere letters."""
+    import datetime as dt
+
+    def _deg(v: str, hemi: str) -> float:
+        f = float(v)
+        d = int(f / 100)
+        m = f - d * 100
+        out = d + m / 60.0
+        return -out if hemi in ("S", "W") else out
+
+    alts = {}  # hhmmss.ss -> altitude (from GGA)
+    rows = []
+    with open(nmea_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line.startswith("$"):
+                continue
+            body = line.split("*")[0]
+            p = body.split(",")
+            typ = p[0][3:]
+            try:
+                if typ == "GGA" and len(p) > 9 and p[9]:
+                    alts[p[1]] = float(p[9])
+                elif typ == "RMC" and len(p) > 9 and p[2] == "A":
+                    t, d = p[1], p[9]
+                    ts = dt.datetime(
+                        2000 + int(d[4:6]), int(d[2:4]), int(d[0:2]),
+                        int(t[0:2]), int(t[2:4]), int(float(t[4:])),
+                        int((float(t[4:]) % 1) * 1e6),
+                        tzinfo=dt.timezone.utc,
+                    ).timestamp()
+                    rows.append({
+                        "time_s": ts,
+                        "lat": _deg(p[3], p[4]),
+                        "lon": _deg(p[5], p[6]),
+                        "alt": alts.get(t, 0.0),
+                    })
+            except (ValueError, IndexError):
+                continue  # malformed sentence: skip (real logs have them)
+    return sorted(rows, key=lambda r: r["time_s"])
+
+
+def parse_geotag_file(path: str) -> List[Dict]:
+    """Dispatch on geotag source format: .gpx or NMEA text logs
+    (.nmea/.log/.txt)."""
+    if path.lower().endswith(".gpx"):
+        return parse_gpx(path)
+    return parse_nmea(path)
+
+
 def interpolate_geotags(
     frame_names: List[str],
     frame_times_s: List[float],
@@ -131,7 +188,7 @@ def process_video(
         video_path, os.path.join(workdir, "images"), interval_s
     )
     if gpx_path:
-        track = parse_gpx(gpx_path)
+        track = parse_geotag_file(gpx_path)
         times = [
             track[0]["time_s"] + i * interval_s for i in range(len(frames))
         ]

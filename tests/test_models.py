@@ -207,3 +207,28 @@ class TestLpips:
 
         assert not lpips.lpips_available("/nonexistent.npz")
         assert lpips.load_weights("/nonexistent.npz") is None
+
+
+class TestNMEA:
+    def test_parse_nmea_rmc_gga(self, tmp_path):
+        """NMEA geotag source (reference geotag_source nmea)."""
+        from splat_one_tpu.data.video import parse_geotag_file
+
+        p = tmp_path / "track.nmea"
+        p.write_text(
+            "$GPGGA,120001.00,4807.038,N,01131.000,E,1,08,0.9,545.4,M,"
+            "46.9,M,,*47\n"
+            "$GPRMC,120001.00,A,4807.038,N,01131.000,E,022.4,084.4,"
+            "230324,003.1,W*6A\n"
+            "$GPRMC,120003.00,A,4807.100,N,01131.100,E,022.4,084.4,"
+            "230324,003.1,W*6A\n"
+            "garbage line\n"
+            "$GPRMC,120002.00,V,,,,,,,230324,,*00\n"  # void fix: skipped
+        )
+        track = parse_geotag_file(str(p))
+        assert len(track) == 2
+        assert abs(track[0]["lat"] - (48 + 7.038 / 60)) < 1e-6
+        assert abs(track[0]["lon"] - (11 + 31.0 / 60)) < 1e-6
+        assert abs(track[0]["alt"] - 545.4) < 1e-6
+        assert track[1]["time_s"] - track[0]["time_s"] == 2.0
+        assert track[1]["alt"] == 0.0  # no GGA for that time
