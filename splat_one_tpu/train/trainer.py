@@ -273,9 +273,16 @@ class Trainer:
         of a geometric-growth recompile ladder)."""
         need = 1.5 * self._isect_mult
         if n_isect:
+            # under a mesh, n_isect is the PER-SLAB max and _choose_caps
+            # re-applies the 4/n_gauss slab factor — divide it back out so
+            # the resulting local cap covers 1.3x the measured slab load
+            factor = 1.0
+            if self.mesh is not None and self.cfg.raster_impl == "stream":
+                factor = max(4.0 / self.mesh.shape["gauss"], 1e-6)
             need = max(
                 need,
-                1.3 * float(n_isect) / (self.cfg.batch_size * self.capacity),
+                1.3 * float(n_isect)
+                / (self.cfg.batch_size * self.capacity) / factor,
             )
         self._isect_mult = need
         self.caps = self._choose_caps(self.capacity)
