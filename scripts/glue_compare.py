@@ -64,10 +64,9 @@ def main():
     def isect_fn(proj, c):
         p = proj._replace(depths=proj.depths + c * 1e-12)
         i = si.build_stream_intersections(p, W, H, 16, caps)
-        return c + (jnp.sum(i.sorted_g) + jnp.sum(i.a_of_e)).astype(
-            jnp.float32) * 1e-12
+        return c + jnp.sum(i.sorted_g).astype(jnp.float32) * 1e-12
 
-    timeit("isect build (new, delta-cumsum + a_of_e)", isect_fn, proj)
+    timeit("isect build", isect_fn, proj)
 
     isect = jax.jit(lambda p: si.build_stream_intersections(
         p, W, H, 16, caps))(proj)
@@ -90,30 +89,10 @@ def main():
     timeit("pack gather (no kernel-layout T)", pack_fn, fields)
 
     def red_new(pgrads, c):
-        seg = si.reduce_stream_grads(pgrads + c * 1e-12, isect, N_GAUSS, 10)
+        seg = si.reduce_stream_grads(pgrads + c * 1e-12, N_GAUSS, 10)
         return c + jnp.sum(seg[0]) * 1e-12
 
-    timeit("reduction NEW (a_of_e gather + segreduce)", red_new, pgrads)
-
-    # pieces of the new reduction
-    def red_t1(pgrads, c):
-        rows_e = (pgrads + c * 1e-12).T[isect.a_of_e]
-        return c + jnp.sum(rows_e[:, 0]) * 1e-12
-
-    timeit("  T + row gather", red_t1, pgrads)
-
-    def red_t0(pgrads, c):
-        rows_e = (pgrads + c * 1e-12).T
-        return c + jnp.sum(rows_e[:, 0]) * 1e-12
-
-    timeit("  T only", red_t0, pgrads)
-
-    def red_key(pgrads, c):
-        g_of_e = si._expand_index(isect.offsets, caps.exp_cap)
-        return c + jnp.sum(g_of_e).astype(jnp.float32) * (
-            1e-12 + c * 1e-30)
-
-    timeit("  g_of_e expand", red_key, pgrads)
+    timeit("reduction (sort + segreduce)", red_new, pgrads)
 
     # old-style sort reduction for comparison
     def red_old(pgrads, c):
