@@ -130,7 +130,10 @@ class MaskUIServer:
                 np.asarray(points, np.float32),
                 np.asarray(labels, np.int32),
             )
-        return np.asarray(masks[0]) > 0.5
+        # multimask predictors return candidates in token order — take
+        # the highest-scoring one (reference mask_manager.py flow)
+        best = int(np.argmax(np.asarray(scores)))
+        return np.asarray(masks[best]) > 0.5
 
     def _save(self, name: str, points, labels) -> None:
         from splat_one_tpu.models.segmentation import save_mask

@@ -179,10 +179,13 @@ def match_features(
         from splat_one_tpu.data.opensfm import latlon_to_utm
 
         pos = []
+        zone = None  # one zone for the whole set (zone-boundary safety)
         for name in images:
             g = _load_exif(workdir, name).get("gps", {})
             if "latitude" in g:
-                e, n, _ = latlon_to_utm(g["latitude"], g["longitude"])
+                e, n, zone = latlon_to_utm(
+                    g["latitude"], g["longitude"], zone
+                )
                 pos.append([e, n, g.get("altitude", 0.0)])
             else:
                 pos.append([0.0, 0.0, 0.0])
@@ -298,10 +301,13 @@ def reconstruct(workdir: str, progress: ProgressFn = None,
         from splat_one_tpu.data.opensfm import latlon_to_utm
 
         gps_positions = {}
+        zone = None  # one zone for the whole set (zone-boundary safety)
         for i, name in enumerate(images):
             g = _load_exif(workdir, name).get("gps", {})
             if "latitude" in g:
-                e, n, _ = latlon_to_utm(g["latitude"], g["longitude"])
+                e, n, zone = latlon_to_utm(
+                    g["latitude"], g["longitude"], zone
+                )
                 gps_positions[i] = np.asarray(
                     [e, n, g.get("altitude", 0.0)], np.float64
                 )
@@ -401,8 +407,9 @@ def create_masks(
             np.asarray(spec["points"], np.float32),
             np.asarray(spec["labels"], np.int32),
         )
+        best = int(np.argmax(np.asarray(scores)))
         save_mask(
-            masks[0], os.path.join(workdir, "masks", name + ".png"),
+            masks[best], os.path.join(workdir, "masks", name + ".png"),
             invert=True,
         )
         n += 1

@@ -40,16 +40,21 @@ def angle_axis_to_rotmat(aa: np.ndarray) -> np.ndarray:
     return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * K @ K
 
 
-def latlon_to_utm(lat: float, lon: float):
+def latlon_to_utm(lat: float, lon: float, zone: int = None):
     """WGS84 lat/lon -> UTM easting/northing (transverse-Mercator series;
     replaces the reference's pyproj dependency, opensfm.py:408-411).
-    Accuracy ~mm within a zone — ample for merging reconstructions."""
+    Accuracy ~mm within a zone — ample for merging reconstructions.
+
+    Pass an explicit ``zone`` when converting a SET of points (e.g. every
+    image's GPS fix): per-point zone selection makes coordinates across a
+    zone boundary discontinuous by hundreds of km."""
     a = 6378137.0
     f = 1 / 298.257223563
     k0 = 0.9996
     e2 = f * (2 - f)
     ep2 = e2 / (1 - e2)
-    zone = int(lon // 6) + 31
+    if zone is None:
+        zone = int(lon // 6) + 31
     lon0 = np.radians((zone - 1) * 6 - 180 + 3)
     phi = np.radians(lat)
     lam = np.radians(lon) - lon0
@@ -203,7 +208,9 @@ class Parser:
         # (reference opensfm.py:404-417, 444-465).
         ref0 = reconstructions[0].get("reference_lla")
         if ref0 is not None:
-            e0, n0, _ = latlon_to_utm(ref0["latitude"], ref0["longitude"])
+            e0, n0, zone0 = latlon_to_utm(
+                ref0["latitude"], ref0["longitude"]
+            )
             alt0 = ref0["altitude"]
         c2ws, Ks, names, models, dists, widths, heights = (
             [], [], [], [], [], [], [],
@@ -212,7 +219,9 @@ class Parser:
         for rec in reconstructions:
             ref = rec.get("reference_lla")
             if ref is not None and ref0 is not None:
-                e, n, _ = latlon_to_utm(ref["latitude"], ref["longitude"])
+                e, n, _ = latlon_to_utm(
+                    ref["latitude"], ref["longitude"], zone0
+                )
                 diff = np.array(
                     [e - e0, n - n0, ref["altitude"] - alt0], np.float64
                 )
@@ -371,6 +380,10 @@ def to_scene_data(
         images = StreamingImages(
             parser.image_paths[:n], w0, h0,
             Ks=parser.Ks[:n], dists=parser.dists[:n],
+            camera_types=[
+                "fisheye" if m == "fisheye" else "perspective"
+                for m in parser.camera_models[:n]
+            ],
             cache_images=cache_images,
         )
     else:

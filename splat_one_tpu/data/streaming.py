@@ -33,6 +33,10 @@ class StreamingImages:
         height: int,
         Ks: Optional[np.ndarray] = None,  # [M, 3, 3] for undistortion
         dists: Optional[np.ndarray] = None,  # [M, >=2] radial k1,k2
+        camera_types: Optional[Sequence[str]] = None,  # per image:
+        # "perspective" (Brown radial) or "fisheye" (theta-polynomial);
+        # the native loader only implements Brown — fisheye undistorts
+        # host-side through data.opensfm.undistort_image
         cache_images: int = 64,
         n_threads: int = 4,
     ):
@@ -41,6 +45,7 @@ class StreamingImages:
         self.height = height
         self.Ks = Ks
         self.dists = dists
+        self.camera_types = camera_types
         self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self._pending: Dict[int, Future] = {}
         self._cap = max(cache_images, 2)
@@ -77,20 +82,49 @@ class StreamingImages:
         return np.stack([self._get(int(i)) for i in idx])
 
     # ---- loading ----------------------------------------------------
+    def _ctype(self, i: int) -> str:
+        if self.camera_types is None:
+            return "perspective"
+        return self.camera_types[i]
+
+    def _needs_undistort(self, i: int) -> bool:
+        if self.dists is None:
+            return False
+        return self._ctype(i) == "fisheye" or bool(
+            np.any(np.abs(np.asarray(self.dists[i])[:2]) > 1e-12)
+        )
+
     def _decode(self, i: int) -> np.ndarray:
+        brown = self._ctype(i) != "fisheye"
         if self._native is not None:
+            # the native remap implements the Brown radial model only;
+            # fisheye theta-polynomial coefficients must NOT be fed to it
             K = None if self.Ks is None else self.Ks[i]
-            d = None if self.dists is None else self.dists[i]
+            d = self.dists[i] if (self.dists is not None and brown) else (
+                None)
             t = self._native.submit(
                 self.paths[i], self.width, self.height, K, d
             )
-            return self._native.wait(t)
-        from PIL import Image
+            img = self._native.wait(t)
+            if brown or not self._needs_undistort(i):
+                return img
+        else:
+            from PIL import Image
 
-        im = Image.open(self.paths[i]).convert("RGB").resize(
-            (self.width, self.height), Image.BILINEAR
-        )
-        return np.asarray(im).astype(np.float32) / 255.0
+            im = Image.open(self.paths[i]).convert("RGB").resize(
+                (self.width, self.height), Image.BILINEAR
+            )
+            img = np.asarray(im).astype(np.float32) / 255.0
+        if self._needs_undistort(i):
+            # PIL fallback (any model) or native fisheye: host-side
+            # undistortion, same math as the non-streaming path
+            from splat_one_tpu.data.opensfm import undistort_image
+
+            img = undistort_image(
+                img, np.asarray(self.Ks[i]), np.asarray(self.dists[i]),
+                camera_type=self._ctype(i),
+            )
+        return img
 
     def _get(self, i: int) -> np.ndarray:
         with self._lock:

@@ -170,25 +170,35 @@ def _expand_index(offsets: jax.Array, capacity: int) -> jax.Array:
     return jnp.cumsum(buckets)
 
 
-def build_fields(proj: Projected) -> jax.Array:
-    """[M0, NF] packed per-(camera, gaussian) field table in original order.
-
-    Pure elementwise — XLA fuses it into the projection epilogue."""
-    C, N = proj.opacities.shape
+def build_field_columns(means2d, conics, opacities, colors, depths,
+                        radii) -> jax.Array:
+    """[M0, NF] packed field table from raw [C, N, ...] arrays — the ONE
+    definition of the COL_* column layout the kernels index. Pure
+    elementwise; XLA fuses it into the projection epilogue."""
+    C, N = opacities.shape
     M0 = C * N
     cols = jnp.concatenate(
         [
-            proj.means2d.reshape(M0, 2),
-            proj.conics.reshape(M0, 3),
-            proj.opacities.reshape(M0, 1),
-            proj.colors.reshape(M0, 3),
-            proj.depths.reshape(M0, 1),
-            proj.radii.reshape(M0, 1),
+            means2d.reshape(M0, 2),
+            conics.reshape(M0, 3),
+            opacities.reshape(M0, 1),
+            colors.reshape(M0, 3),
+            depths.reshape(M0, 1),
+            radii.reshape(M0, 1),
             jnp.arange(M0, dtype=jnp.float32).reshape(M0, 1),  # COL_GID
         ],
         axis=1,
     )
     return jnp.pad(cols, ((0, 0), (0, NF - cols.shape[1])))
+
+
+def build_fields(proj: Projected) -> jax.Array:
+    """[M0, NF] packed per-(camera, gaussian) field table (see
+    ``build_field_columns``)."""
+    return build_field_columns(
+        proj.means2d, proj.conics, proj.opacities, proj.colors,
+        proj.depths, proj.radii,
+    )
 
 
 def pack_stream(fields: jax.Array, isect: StreamIsect,

@@ -607,19 +607,9 @@ def _make_composite_fn(cfg: StreamCfg):
 
     def build_packed(means2d, conics, colors, opacities, depths, radii,
                      isect):
-        cols = jnp.concatenate(
-            [
-                means2d.reshape(M0, 2),
-                conics.reshape(M0, 3),
-                opacities.reshape(M0, 1),
-                colors.reshape(M0, 3),
-                depths.reshape(M0, 1),
-                radii.reshape(M0, 1),
-                jnp.arange(M0, dtype=jnp.float32).reshape(M0, 1),  # gid
-            ],
-            axis=1,
+        fields = si.build_field_columns(
+            means2d, conics, opacities, colors, depths, radii
         )
-        fields = jnp.pad(cols, ((0, 0), (0, NF - cols.shape[1])))
         # row gather, then transpose into the kernel-native [NF, rows]
         # layout (chunk DMAs slice the lane axis at G-aligned offsets)
         return si.pack_stream(fields, isect, caps).T

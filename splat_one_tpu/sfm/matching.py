@@ -112,8 +112,15 @@ def pairs_to_match(
         sig = vlad_signatures(descriptors)
         sim = sig @ sig.T
         for i in range(n_images):
-            for j in np.argsort(-sim[i])[1 : vlad_neighbors + 1]:
-                pairs.add((min(i, int(j)), max(i, int(j))))
+            taken = 0
+            for j in np.argsort(-sim[i]):
+                j = int(j)
+                if j == i:  # zero/tied signatures need not rank self first
+                    continue
+                pairs.add((min(i, j), max(i, j)))
+                taken += 1
+                if taken >= vlad_neighbors:
+                    break
     out = sorted(pairs)
     if max_pairs is not None:
         out = out[:max_pairs]
@@ -188,8 +195,13 @@ def robust_filter_matches(
         return matches[:0]
     b1 = jnp.asarray(bearings1[matches[:, 0]])
     b2 = jnp.asarray(bearings2[matches[:, 1]])
+    # 8-point: pairwise VERIFICATION only needs a cheap linear solve over
+    # hundreds of matches; the 5-point minimal solver (16-start GN per
+    # hypothesis, 16x the hypothesis count) is reserved for the planar-
+    # sensitive init-pair / two-view-geometry call sites
     res = ransac_essential(
-        key, b1, b2, jnp.ones(len(matches), bool), threshold=threshold
+        key, b1, b2, jnp.ones(len(matches), bool), threshold=threshold,
+        solver="8pt",
     )
     inl = np.asarray(res.inliers)
     return matches[inl]

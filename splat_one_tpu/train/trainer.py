@@ -496,17 +496,27 @@ class Trainer:
             )
             # data-parallel gradient averaging (grad of the global camera
             # mean; the gauss-axis psum_scatter already happened inside the
-            # all_gather transpose)
+            # all_gather transpose). Pose/bilateral/appearance params are
+            # REPLICATED over 'gauss', but each gauss shard's backward only
+            # carries its own gaussians' (and its own supertile slab's)
+            # contributions — they must be psum'd over 'gauss' or the
+            # replicated optimizer states silently diverge per device.
             gp = pmean_data(gp)
-            gpose = pmean_data(gpose)
-            gbil = pmean_data(gbil)
-            gapp = pmean_data(gapp)
+            gpose = pmean_data(psum_gauss(gpose))
+            gbil = pmean_data(psum_gauss(gbil))
+            gapp = jax.tree.map(
+                lambda x: pmean_data(psum_gauss(x)), gapp
+            )
             # densification statistics (absgrad or plain grad per strategy):
             # per-camera norms taken LOCALLY, then the per-gaussian scalars
             # summed over the data axis (summing raw 2-vectors across
             # cameras before the norm would be the wrong statistic)
             stat_grad = gdum["abs"] if use_abs else gdum["m2d"]
             if use_abs and sharded:
+                # the abs dummy rides the composite: each device's rows
+                # hold only its own supertile slab's |grad| sums — combine
+                # slabs BEFORE slicing out this shard's gaussians
+                stat_grad = psum_gauss(stat_grad)
                 stat_grad = jax.lax.dynamic_slice_in_dim(
                     stat_grad,
                     jax.lax.axis_index("gauss") * cap_local,
@@ -991,14 +1001,53 @@ class Trainer:
         their owning devices)."""
         import orbax.checkpoint as ocp
 
-        template = jax.tree.map(
-            ocp.utils.to_shape_dtype_struct
-            if hasattr(ocp.utils, "to_shape_dtype_struct")
-            else (lambda x: jax.ShapeDtypeStruct(
-                x.shape, x.dtype, sharding=getattr(x, "sharding", None))),
-            self._state_dictish(),
-        )
+        # template shapes must come from the CHECKPOINT (a run that grew
+        # capacity saves bigger buffers than a fresh Trainer holds);
+        # shardings come from the current state/mesh — grown capacities
+        # stay divisible by the gauss axis, so the specs still apply
         with ocp.StandardCheckpointer() as ckptr:
+            try:
+                meta = ckptr.metadata(os.path.abspath(path))
+                if isinstance(meta, dict):
+                    meta_state = meta["state"]
+                else:
+                    im = meta.item_metadata
+                    meta_state = (
+                        im.tree if hasattr(im, "tree") else im
+                    )["state"]
+
+                # the state tree holds NamedTuples (AdamState etc.) while
+                # orbax metadata is plain dicts — match leaves by PATH
+                def _meta_at(path):
+                    node = meta_state
+                    for p in path:
+                        if hasattr(p, "key"):
+                            node = node[p.key]
+                        elif hasattr(p, "name"):
+                            node = node[p.name]
+                        else:
+                            node = node[p.idx]
+                    return node
+
+                def to_struct(path, cur):
+                    m = _meta_at(path)
+                    return jax.ShapeDtypeStruct(
+                        tuple(m.shape), np.dtype(m.dtype),
+                        sharding=getattr(cur, "sharding", None),
+                    )
+
+                template = jax.tree_util.tree_map_with_path(
+                    to_struct, self._state_dictish()
+                )
+            except Exception:
+                # metadata unavailable (older orbax): current shapes
+                template = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype,
+                        sharding=getattr(x, "sharding", None),
+                    ),
+                    self._state_dictish(),
+                )
             out = ckptr.restore(
                 os.path.abspath(path), {"state": template, "step": 0}
             )

@@ -60,7 +60,23 @@ def get_lib():
         if path is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # stale/mislinked .so (e.g. built without -ljpeg -lpng):
+            # rebuild once with the correct flags, else give up cleanly
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            path = _build()
+            try:
+                lib = ctypes.CDLL(path) if path else None
+            except OSError:
+                lib = None
+            if lib is None:
+                _build_failed = True
+                return None
         lib.loader_create.argtypes = [ctypes.c_int]
         lib.loader_create.restype = ctypes.c_int
         lib.loader_destroy.argtypes = [ctypes.c_int]

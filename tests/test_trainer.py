@@ -283,6 +283,36 @@ class TestShardedTrainer:
         # identical data order + replicated math => near-identical losses
         np.testing.assert_allclose(l2, l1, rtol=2e-2, atol=2e-3)
 
+    def test_pose_and_app_grads_replicated(self, tmp_path):
+        """Regression (r2 review): pose/appearance gradients must be
+        psum'd over the gauss axis — each shard's backward only carries
+        its own gaussians' contributions, and without the reduction the
+        'replicated' module params silently diverge per device."""
+        scene, _ = make_synthetic_scene(
+            n_gaussians=250, n_cameras=8, width=48, height=48,
+            n_points=120
+        )
+        kw = dict(
+            max_steps=6, eval_steps=[], save_steps=[], batch_size=2,
+            pose_opt=True, pose_opt_lr=1e-3,
+            strategy=DefaultStrategyCfg(
+                refine_start_iter=10_000, refine_stop_iter=10_001,
+                refine_every=10_000, reset_every=10_000,
+            ),
+            test_every=8,
+        )
+        tr1 = Trainer(small_cfg(tmp_path / "a", **kw), scene)
+        tr1.train(log_every=100)
+        tr2 = Trainer(small_cfg(tmp_path / "b", **kw), scene,
+                      mesh=self._mesh(2, 4))
+        tr2.train(log_every=100)
+        p1 = np.asarray(tr1.state.pose_params)
+        p2 = np.asarray(tr2.state.pose_params)
+        scale = np.abs(p1).max() + 1e-12
+        assert np.abs(p2 - p1).max() / scale < 1e-2, (
+            np.abs(p2 - p1).max(), scale
+        )
+
     def test_sharded_densification_and_eval(self, tmp_path):
         scene, _ = make_synthetic_scene(
             n_gaussians=300, n_cameras=8, width=48, height=48, n_points=150
@@ -399,6 +429,44 @@ class TestOrbaxShardedCheckpoint:
         assert s1.is_equivalent_to(s2, tr.state.params["means"].ndim)
         assert int(tr2.state.step) == 3
         # training continues from the restored sharded state
+        h = tr2.train(log_every=1)
+        assert np.isfinite([x["loss"] for x in h]).all()
+
+    def test_restore_after_capacity_growth(self, tmp_path):
+        """A checkpoint saved after _grow_capacity must restore into a
+        FRESH Trainer whose initial capacity is smaller (the template
+        shapes must come from the checkpoint, not the current state)."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        scene, _ = make_synthetic_scene(
+            n_gaussians=250, n_cameras=4, width=48, height=48,
+            n_points=120
+        )
+        kw = dict(
+            max_steps=2, eval_steps=[], save_steps=[], batch_size=2,
+            test_every=4,
+            strategy=DefaultStrategyCfg(
+                refine_start_iter=10_000, refine_stop_iter=10_001,
+                refine_every=10_000, reset_every=10_000,
+            ),
+        )
+        dev = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(dev, ("data", "gauss"))
+        tr = Trainer(small_cfg(tmp_path / "a", **kw), scene, mesh=mesh)
+        tr.train(log_every=10)
+        tr._grow_capacity(tr.capacity * 2)  # the designed recompile point
+        grown = tr.capacity
+        path = tr.save_checkpoint_sharded(2)
+
+        tr2 = Trainer(small_cfg(tmp_path / "b", **kw), scene, mesh=mesh)
+        assert tr2.capacity < grown
+        tr2.load_checkpoint_sharded(path)
+        assert tr2.capacity == grown
+        np.testing.assert_array_equal(
+            np.asarray(tr2.state.params["means"]),
+            np.asarray(tr.state.params["means"]),
+        )
         h = tr2.train(log_every=1)
         assert np.isfinite([x["loss"] for x in h]).all()
 
