@@ -88,6 +88,14 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=8081)
     sp.add_argument("--checkpoint", default=None)
 
+    sp = sub.add_parser("estimate-depth")
+    sp.add_argument("workdir")
+    sp.add_argument("--encoder", default="vits",
+                    choices=["vits", "vitb", "vitl", "vitg"])
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--equirect", action="store_true",
+                    help="panorama multi-crop path (DAC analog)")
+
     sp = sub.add_parser("visualize-features")
     sp.add_argument("workdir")
     sp = sub.add_parser("visualize-matches")
@@ -193,6 +201,13 @@ def main(argv=None):
 
         MaskUIServer(args.workdir, checkpoint=args.checkpoint,
                      port=args.port).serve_forever()
+    elif args.cmd == "estimate-depth":
+        n = pipeline.estimate_depth(
+            args.workdir, encoder=args.encoder,
+            checkpoint=args.checkpoint, equirect=args.equirect,
+            progress=_progress("depth"),
+        )
+        print(f"wrote {n} depth maps to depth/")
     elif args.cmd == "visualize-features":
         n = pipeline.visualize_features(args.workdir)
         print(f"wrote {n} keypoint previews to previews/features/")

@@ -488,3 +488,42 @@ def visualize_matches(workdir: str, image_a: str, image_b: str,
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     canvas.save(out_path)
     return out_path
+
+
+def estimate_depth(
+    workdir: str,
+    encoder: str = "vits",
+    checkpoint: Optional[str] = None,
+    equirect: bool = False,
+    progress: ProgressFn = None,
+) -> int:
+    """Per-image monocular depth stage (the reference's depth tab,
+    app/tabs/depth_tab.py:92-123,173): writes ``depth/<img>_depth.npy`` +
+    a colorized PNG per image. ``equirect`` enables the multi-crop
+    panorama path (the DAC analog). Weight-gated: without a converted
+    checkpoint the maps are the documented dummy fallback
+    (depth_tab.py:178-186)."""
+    from PIL import Image
+
+    from splat_one_tpu.app.image_processing import ImageProcessor
+    from splat_one_tpu.models.depth_tpu import (
+        DepthAnythingTPU, save_depth_outputs,
+    )
+
+    model = DepthAnythingTPU(encoder=encoder, checkpoint=checkpoint)
+    out_dir = os.path.join(workdir, "depth")
+    images = ImageProcessor(workdir).list_images()
+    for i, name in enumerate(images):
+        rgb = np.asarray(
+            Image.open(os.path.join(workdir, "images", name)).convert(
+                "RGB")
+        )
+        bgr = rgb[..., ::-1]
+        if equirect:
+            depth = model.infer_equirectangular(bgr)
+        else:
+            depth = model.infer_image(bgr)
+        save_depth_outputs(depth, out_dir, os.path.splitext(name)[0])
+        if progress:
+            progress(i + 1, len(images))
+    return len(images)
