@@ -245,3 +245,22 @@ class TestVisualizations:
         assert img.size == (128, 48)
         # reversed order resolves through the stored key too
         pipeline.visualize_matches(str(wd), "b.jpg", "a.jpg")
+
+
+class TestDepthStage:
+    def test_estimate_depth_writes_outputs(self, tmp_path):
+        from PIL import Image
+
+        from splat_one_tpu.app import pipeline
+
+        wd = tmp_path / "wd"
+        (wd / "images").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        Image.fromarray(
+            rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+        ).save(wd / "images" / "a.jpg")
+        n = pipeline.estimate_depth(str(wd))
+        assert n == 1
+        dep = np.load(wd / "depth" / "a_depth.npy")
+        assert dep.shape == (32, 48)
+        assert (wd / "depth" / "a_depth.png").exists()
