@@ -39,29 +39,6 @@ class Projected(NamedTuple):
     valid: jax.Array  # [C, N] bool
 
 
-def gaussian_covariance(quats: jax.Array, scales: jax.Array) -> jax.Array:
-    """3D covariance from (unnormalized) quaternions and (positive) scales."""
-    R = quat_to_rotmat(quats)  # [N, 3, 3]
-    M = R * scales[..., None, :]
-    return M @ jnp.swapaxes(M, -1, -2)
-
-
-def _clamp_for_jacobian(p_cam, K, width, height, camera_model):
-    """Clamp points to slightly beyond the frustum before evaluating the EWA
-    Jacobian (pinhole only) to avoid unbounded Jacobians far outside the view.
-    """
-    if camera_model != "pinhole":
-        return p_cam
-    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
-    fx, fy = K[..., 0, 0], K[..., 1, 1]
-    zs = jnp.maximum(z, 1e-6)
-    lim_x = 1.3 * 0.5 * width / fx
-    lim_y = 1.3 * 0.5 * height / fy
-    xc = zs * jnp.clip(x / zs, -lim_x, lim_x)
-    yc = zs * jnp.clip(y / zs, -lim_y, lim_y)
-    return jnp.stack([xc, yc, z], axis=-1)
-
-
 def _rotmat_soa(quats):
     """Quaternion -> rotation matrix as nine [N] component arrays
     (struct-of-arrays: [N,3,3] tensors get lane-padded ~40x on TPU)."""

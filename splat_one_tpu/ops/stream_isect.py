@@ -112,6 +112,9 @@ class StreamCaps:
         )
         exp_cap = max(exp_cap, 1024)
         exp_cap = -(-exp_cap // chunk) * chunk
+        assert exp_cap < 1 << 24, (
+            "exp_cap must stay f32-exact (meta offsets ride as f32)"
+        )
         return StreamCaps(exp_cap=exp_cap, n_supertiles=n_supertiles,
                           chunk=chunk, ss=ss)
 
@@ -128,6 +131,9 @@ class StreamCaps:
         capacity-growth recompile path (train.trainer._grow_isect_caps)."""
         exp_cap = max(int(n_isect * slack), 1024)
         exp_cap = -(-exp_cap // chunk) * chunk
+        assert exp_cap < 1 << 24, (
+            "exp_cap must stay f32-exact (meta offsets ride as f32)"
+        )
         return StreamCaps(exp_cap=exp_cap, n_supertiles=n_supertiles,
                           chunk=chunk, ss=ss)
 
@@ -234,6 +240,12 @@ def build_stream_intersections(
     """
     C, N = proj.depths.shape
     M0 = C * N
+    if M0 >= 1 << 24:
+        raise NotImplementedError(
+            "C*N >= 2^24: the f32 gid column (COL_GID) and the backward "
+            "reduce-by-key keys lose integer exactness — shard gaussians "
+            "(parallel.ring_sharded / the mesh Trainer) before this scale"
+        )
     tw, th, sw, sh = supertile_grid(width, height, tile_size, caps.ss)
     NS = sw * sh
     CS = C * NS

@@ -340,10 +340,10 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, off_ref, packed_ref, fwd_ref,
         (jnp.ones((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)),
     )
     # Drain outstanding write DMAs before the program ends.
-    for tail in range(1, 5):
+    for tail in range(1, NBUF + 1):
         @pl.when(nchunks >= tail)
         def _(tail=tail):
-            put_dma((nchunks - tail) % 4, nchunks - tail).wait()
+            put_dma((nchunks - tail) % NBUF, nchunks - tail).wait()
 
 
 def _zeros_like_pgrads(cfg: RasterCfg):

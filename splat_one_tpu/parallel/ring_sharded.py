@@ -153,4 +153,6 @@ def rasterization_ring_sharded(
         exp_cap=caps.exp_cap, n_supertiles=sw * sh,
         wrap_x=(camera_model == "spherical"), ss=caps.ss,
     )
-    return stream_raster.stream_to_image(full_cfg, out)
+    rgb, alpha, depth = stream_raster.stream_to_image(full_cfg, out)
+    # expected depth (gsplat ED semantics, matching render.rasterization)
+    return rgb, alpha, depth / jnp.clip(alpha, 1e-10, None)

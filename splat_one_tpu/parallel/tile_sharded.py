@@ -114,7 +114,11 @@ def rasterization_tile_sharded(
     tile_out = sharded(
         means, quats, scales, opacities, sh_coeffs, viewmats, Ks
     )  # [ct_local * n_dev, OUT_CH, P]
-    return tile_raster.tiles_to_image(cfg, tile_out[:ct_global])
+    rgb, alpha, depth = tile_raster.tiles_to_image(
+        cfg, tile_out[:ct_global]
+    )
+    # expected depth (gsplat ED semantics, matching render.rasterization)
+    return rgb, alpha, depth / jnp.clip(alpha, 1e-10, None)
 
 
 @functools.lru_cache(maxsize=16)

@@ -93,7 +93,7 @@ def rasterization(
     stay local-shard-shaped for per-shard densification stats.
     ``info["radii_local"]`` is the pre-transform radii for the same reason.
     """
-    if render_mode not in ("RGB", "RGB+ED", "ED", "D"):
+    if render_mode not in ("RGB", "RGB+ED", "RGB+D", "ED", "D"):
         raise ValueError(f"bad render_mode {render_mode!r}")
     if rasterize_mode not in ("classic", "antialiased"):
         raise ValueError(f"bad rasterize_mode {rasterize_mode!r}")
@@ -124,9 +124,16 @@ def rasterization(
     proj_sg = jax.lax.stop_gradient(proj)
 
     if impl == "stream":
-        _, _, sw, sh = si_mod.supertile_grid(width, height, tile_size)
         if not isinstance(caps, StreamCaps):
-            caps = StreamCaps.choose(N, C, C * sw * sh)
+            _, _, sgw, sgh = si_mod.supertile_grid(
+                width, height, tile_size
+            )
+            caps = StreamCaps.choose(N, C, C * sgw * sgh)
+        # grid at the CAPS' supertile size (ss is a caps knob, and `sh`
+        # must stay the SH-coefficients variable above)
+        _, _, sgw, sgh = si_mod.supertile_grid(
+            width, height, tile_size, caps.ss
+        )
         full_cfg = StreamCfg.from_caps(
             caps, width, height, tile_size, C, N,
             wrap_x=(camera_model == "spherical"),
@@ -137,7 +144,7 @@ def rasterization(
             # ceil-padded slabs (phantom cells stay empty), per-slab isect
             # + compositing, one tiled all_gather of the slab outputs
             axis_name, n_sh = st_shard
-            cs_global = C * sw * sh
+            cs_global = C * sgw * sgh
             cs_local = -(-cs_global // n_sh)
             st_lo = (
                 jax.lax.axis_index(axis_name) * cs_local
@@ -145,7 +152,7 @@ def rasterization(
             cfg = StreamCfg(
                 width=width, height=height, tile_size=tile_size,
                 num_cameras=C, num_gaussians=N, chunk=caps.chunk,
-                exp_cap=caps.exp_cap, n_supertiles=sw * sh,
+                exp_cap=caps.exp_cap, n_supertiles=sgw * sgh,
                 wrap_x=(camera_model == "spherical"),
                 absgrad=(absgrad_dummy is not None), ss=caps.ss,
                 cs_local=cs_local,
@@ -200,9 +207,14 @@ def rasterization(
     if backgrounds is not None:
         rgb = rgb + (1.0 - alpha) * backgrounds[:, None, None, :]
 
+    if "ED" in render_mode:
+        # gsplat semantics: ED = EXPECTED depth (accumulated / alpha); the
+        # raw accumulated value is the D modes (reference consumes RGB+ED
+        # without re-normalizing, gsplat_trainer.py:595-599, 890-894)
+        depth = depth / jnp.clip(alpha, 1e-10, None)
     if render_mode == "RGB":
         render = rgb
-    elif render_mode == "RGB+ED":
+    elif render_mode in ("RGB+ED", "RGB+D"):
         render = jnp.concatenate([rgb, depth], axis=-1)
     else:  # ED / D
         render = depth

@@ -27,8 +27,7 @@ def image_loss(
 
 
 def depth_loss(
-    render_depth: jax.Array,  # [B, H, W, 1] accumulated depth
-    alphas: jax.Array,  # [B, H, W, 1]
+    render_depth: jax.Array,  # [B, H, W, 1] EXPECTED depth (the ED output)
     gt_depth: jax.Array,  # [B, H, W, 1] metric depth (0 = missing)
     scene_scale: float = 1.0,
 ) -> jax.Array:
@@ -38,7 +37,7 @@ def depth_loss(
     The reference scales the disparity L1 by ``scene_scale`` before the
     ``depth_lambda`` weighting so supervision strength is invariant to the
     world-normalization scale."""
-    d = render_depth / jnp.clip(alphas, 1e-6, None)
+    d = render_depth
     valid = gt_depth > 1e-6
     disp = jnp.where(valid, 1.0 / jnp.clip(d, 1e-6, None), 0.0)
     disp_gt = jnp.where(valid, 1.0 / jnp.clip(gt_depth, 1e-6, None), 0.0)

@@ -447,7 +447,7 @@ class Trainer:
                 )
             if cfg.depth_loss and "depth" in batch:
                 dl = L.depth_loss(
-                    depth_r, alpha, batch["depth"],
+                    depth_r, batch["depth"],
                     scene_scale=self.scene.scene_scale,
                 )
                 loss = loss + cfg.depth_lambda * dl
@@ -640,7 +640,7 @@ class Trainer:
                 image_ids=image_id, app_params=state.app_params,
             )
             rgb = jnp.clip(render[..., 0:3], 0.0, 1.0)
-            depth = render[..., 3:4] / jnp.clip(alpha, 1e-6, None)
+            depth = render[..., 3:4]  # ED: already expected depth
             return rgb, alpha, depth
 
         if not sharded:

@@ -156,7 +156,9 @@ class TestForwardParity:
         assert not bool(info["overflow"])
         np.testing.assert_allclose(render[..., 0:3], rgb_o, atol=1e-4)
         np.testing.assert_allclose(alpha, a_o, atol=1e-4)
-        np.testing.assert_allclose(render[..., 3:4], d_o, atol=5e-4)
+        # API returns EXPECTED depth (gsplat ED); oracle is raw accumulated
+        d_exp = d_o / np.clip(np.asarray(a_o), 1e-10, None)
+        np.testing.assert_allclose(render[..., 3:4], d_exp, atol=5e-4)
 
     def test_spherical(self):
         means, quats, scales, opac, sh, viewmats, Ks = make_scene(
@@ -216,7 +218,8 @@ class TestGradParity:
             sh_coeffs=sh, sh_degree=1,
         )
         rgb, a, d = composite_reference(proj, W, H)
-        return jnp.sum(rgb * wr) + jnp.sum(a * wa) + jnp.sum(d * wd)
+        d_exp = d / jnp.clip(a, 1e-10, None)  # gsplat ED semantics
+        return jnp.sum(rgb * wr) + jnp.sum(a * wa) + jnp.sum(d_exp * wd)
 
     def test_grads_match_oracle(self, rng):
         means, quats, scales, opac, sh, viewmats, Ks = make_scene(150, seed=7)
