@@ -197,6 +197,10 @@ def match_features(
             [feats[n]["descriptors"] for n in images]
             if vlad_neighbors > 0 else None
         ),
+        desc_valids=(
+            [feats[n]["valid"] for n in images]
+            if vlad_neighbors > 0 else None
+        ),
         vlad_neighbors=vlad_neighbors,
     )
     descs = [feats[n]["descriptors"] for n in images]

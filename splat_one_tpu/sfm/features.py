@@ -65,13 +65,22 @@ def extract_features(
     edge_ratio: float = 10.0,
 ) -> Features:
     H, W = image.shape
-    sigmas = [1.2 * (1.6 ** i) for i in range(n_scales + 1)]
+    # n_scales USABLE levels: build two extra DoG levels so every usable
+    # level has a full 3x3x3 scale neighborhood (SIFT computes s+3
+    # gaussians for s usable octave levels)
+    n_dog = n_scales + 2
+    # shifted one step finer so interior level 1 keeps the previous
+    # finest usable scale (sigma 1.2)
+    sigmas = [1.2 * (1.6 ** (i - 1)) for i in range(n_dog + 1)]
     blurred = [ _gaussian_blur(image, s) for s in sigmas ]
     dogs = jnp.stack(
-        [blurred[i + 1] - blurred[i] for i in range(n_scales)]
-    )  # [S, H, W]
+        [blurred[i + 1] - blurred[i] for i in range(n_dog)]
+    )  # [n_dog, H, W]
 
-    # 3x3x3 local extrema
+    # 3x3x3 local extrema over the INTERIOR levels only: a plain roll
+    # would WRAP level 0 against the coarsest level and accept/reject
+    # extrema based on an unrelated scale (sfm review r2); the two extra
+    # DoG levels above keep the usable-scale coverage unchanged
     def shift2(x, dy, dx):
         return jnp.roll(jnp.roll(x, dy, axis=-2), dx, axis=-1)
 
@@ -88,6 +97,8 @@ def extract_features(
     is_min = jnp.all(dogs[None] < neighborhood, axis=0)
     resp = jnp.abs(dogs)
     cand = (is_max | is_min) & (resp > contrast_threshold)
+    s_grid = jax.lax.broadcasted_iota(jnp.int32, dogs.shape, 0)
+    cand &= (s_grid > 0) & (s_grid < n_dog - 1)
     # edge rejection via Hessian trace/det ratio on the DoG
     dxx = shift2(dogs, 0, 1) + shift2(dogs, 0, -1) - 2 * dogs
     dyy = shift2(dogs, 1, 0) + shift2(dogs, -1, 0) - 2 * dogs
@@ -100,12 +111,18 @@ def extract_features(
     r = edge_ratio
     edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
     cand &= edge_ok
-    # keep away from borders (descriptor patch support)
-    border = 20
+    # keep away from borders: the 16x16 descriptor grid samples out to
+    # ~8.5*scale px, so the exclusion must grow with the level's sigma or
+    # coarse-scale keypoints near edges build descriptors from clamped
+    # repeated pixels (unstable matching)
+    borders = jnp.asarray(
+        [max(20, int(np.ceil(4.5 * s_))) for s_ in sigmas[:n_dog]],
+        jnp.int32,
+    )[:, None, None]
     ys = jax.lax.broadcasted_iota(jnp.int32, dogs.shape, 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, dogs.shape, 2)
-    cand &= (ys >= border) & (ys < H - border)
-    cand &= (xs >= border) & (xs < W - border)
+    cand &= (ys >= borders) & (ys < H - borders)
+    cand &= (xs >= borders) & (xs < W - borders)
 
     score = jnp.where(cand, resp, 0.0).reshape(-1)
     k = min(max_keypoints, score.shape[0])

@@ -263,6 +263,34 @@ def _procrustes(A, B, w):
     return R, t
 
 
+def rvec_from_rotmat(Rm: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> angle-axis, branchless and stable at theta ~ pi.
+
+    Shepperd's quaternion extraction: build all four candidates (trace and
+    each dominant diagonal), pick the best-conditioned by argmax — the
+    skew-part-only formula loses the axis as theta -> pi (sfm review r2)."""
+    t = jnp.trace(Rm)
+    d0, d1, d2 = Rm[0, 0], Rm[1, 1], Rm[2, 2]
+    cw = jnp.array([1 + t, Rm[2, 1] - Rm[1, 2], Rm[0, 2] - Rm[2, 0],
+                    Rm[1, 0] - Rm[0, 1]])
+    cx = jnp.array([Rm[2, 1] - Rm[1, 2], 1 + d0 - d1 - d2,
+                    Rm[1, 0] + Rm[0, 1], Rm[0, 2] + Rm[2, 0]])
+    cy = jnp.array([Rm[0, 2] - Rm[2, 0], Rm[1, 0] + Rm[0, 1],
+                    1 - d0 + d1 - d2, Rm[2, 1] + Rm[1, 2]])
+    cz = jnp.array([Rm[1, 0] - Rm[0, 1], Rm[0, 2] + Rm[2, 0],
+                    Rm[2, 1] + Rm[1, 2], 1 - d0 - d1 + d2])
+    cands = jnp.stack([cw, cx, cy, cz])  # [4, 4]
+    mags = jnp.array([1 + t, 1 + d0 - d1 - d2, 1 - d0 + d1 - d2,
+                      1 - d0 - d1 + d2])
+    q = cands[jnp.argmax(mags)]
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    q = q * jnp.where(q[0] < 0, -1.0, 1.0)
+    nv = jnp.linalg.norm(q[1:])
+    theta = 2.0 * jnp.arctan2(nv, q[0])
+    axis = q[1:] / jnp.maximum(nv, 1e-12)
+    return jnp.where(nv < 1e-12, jnp.zeros(3), axis * theta)
+
+
 def pnp_dlt(
     points: jax.Array,  # [n, 3] world points
     bearings: jax.Array,  # [n, 3] unit bearings
@@ -326,17 +354,7 @@ def pnp_dlt(
     # Gauss-Newton refinement on (rvec, t)
     from splat_one_tpu.sfm.ba import _residual, _rodrigues
 
-    def rvec_of(Rm):
-        # matrix -> angle-axis via quaternion-free log map (host-safe)
-        cos_t = jnp.clip((jnp.trace(Rm) - 1) / 2, -1 + 1e-7, 1 - 1e-7)
-        theta = jnp.arccos(cos_t)
-        axis = jnp.array(
-            [Rm[2, 1] - Rm[1, 2], Rm[0, 2] - Rm[2, 0], Rm[1, 0] - Rm[0, 1]]
-        )
-        axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
-        return axis * theta
-
-    cam = jnp.concatenate([rvec_of(R), t])
+    cam = jnp.concatenate([rvec_from_rotmat(R), t])
 
     def gn_step(cam, _):
         def all_res(c):
@@ -373,7 +391,10 @@ def ransac_pnp(
     def err(R, t):
         p = points @ R.T + t
         p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
-        return jnp.linalg.norm(jnp.cross(p, bearings), axis=-1)
+        e = jnp.linalg.norm(jnp.cross(p, bearings), axis=-1)
+        # cheirality: |cross| = |sin| is also ~0 at 180 deg — a point
+        # BEHIND its bearing must never count as an inlier
+        return jnp.where(jnp.sum(p * bearings, axis=-1) > 0, e, 2.0)
 
     errs = jax.vmap(err)(Rs, ts)
     inl = (errs < threshold) & valid[None]

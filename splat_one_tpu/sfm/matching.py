@@ -27,6 +27,10 @@ def vlad_signatures(
     n_words: int = 16,
     iters: int = 8,
     seed: int = 0,
+    valids: Optional[Sequence[np.ndarray]] = None,  # per image [K] bool:
+    # the pipeline's fixed-K padded feature arrays carry zeroed invalid
+    # rows which would otherwise pollute the vocabulary and the word-0
+    # residual/histogram
 ) -> np.ndarray:
     """Per-image VLAD signature over a k-means vocabulary trained on the
     scene's own descriptors — the appearance-similarity pair preselection
@@ -35,9 +39,16 @@ def vlad_signatures(
     are aggregated, power-normalized and L2-normalized. Returns
     [M, n_words * D]."""
     rng = np.random.default_rng(seed)
-    alld = np.concatenate([d for d in descriptors if len(d)], axis=0)
+    if valids is None:
+        valids = [np.ones(len(d), bool) for d in descriptors]
+    alld = np.concatenate(
+        [d[np.asarray(v, bool)] for d, v in zip(descriptors, valids)
+         if len(d)], axis=0,
+    )
     if len(alld) == 0:
         return np.zeros((len(descriptors), 0), np.float32)
+    # texture-poor scenes: never ask for more words than descriptors
+    n_words = max(1, min(n_words, len(alld)))
     sub = alld[rng.choice(len(alld), min(len(alld), 20_000), replace=False)]
     centers = sub[rng.choice(len(sub), n_words, replace=False)].copy()
     centers_j = jnp.asarray(centers)
@@ -59,9 +70,9 @@ def vlad_signatures(
         centers_j = kmeans_step(centers_j)
 
     @jax.jit
-    def signature(d):
+    def signature(d, mask):
         a = jnp.argmax(d @ centers_j.T, axis=1)
-        oh = jax.nn.one_hot(a, n_words, dtype=jnp.float32)
+        oh = jax.nn.one_hot(a, n_words, dtype=jnp.float32) * mask[:, None]
         resid = oh.T @ d - oh.sum(0)[:, None] * centers_j  # [W, D]
         v = resid.reshape(-1)
         v = jnp.sign(v) * jnp.sqrt(jnp.abs(v))  # power normalization
@@ -74,9 +85,11 @@ def vlad_signatures(
 
     D = alld.shape[1]
     out = np.zeros((len(descriptors), n_words * D + n_words), np.float32)
-    for i, d in enumerate(descriptors):
-        if len(d):
-            out[i] = np.asarray(signature(jnp.asarray(d)))
+    for i, (d, v) in enumerate(zip(descriptors, valids)):
+        if len(d) and np.any(v):
+            out[i] = np.asarray(signature(
+                jnp.asarray(d), jnp.asarray(v, jnp.float32)
+            ))
     return out
 
 
@@ -87,6 +100,7 @@ def pairs_to_match(
     gps_positions: Optional[np.ndarray] = None,
     gps_neighbors: int = 0,
     descriptors: Optional[Sequence[np.ndarray]] = None,
+    desc_valids: Optional[Sequence[np.ndarray]] = None,
     vlad_neighbors: int = 0,
     max_pairs: Optional[int] = None,
 ) -> List[Tuple[int, int]]:
@@ -109,7 +123,7 @@ def pairs_to_match(
             for j in np.argsort(d[i])[1 : gps_neighbors + 1]:
                 pairs.add((min(i, int(j)), max(i, int(j))))
     if vlad_neighbors > 0 and descriptors is not None:
-        sig = vlad_signatures(descriptors)
+        sig = vlad_signatures(descriptors, valids=desc_valids)
         sim = sig @ sig.T
         for i in range(n_images):
             taken = 0
@@ -122,8 +136,11 @@ def pairs_to_match(
                 if taken >= vlad_neighbors:
                     break
     out = sorted(pairs)
-    if max_pairs is not None:
-        out = out[:max_pairs]
+    if max_pairs is not None and len(out) > max_pairs:
+        # evenly-spaced subsample: a head-truncation would drop EVERY pair
+        # touching high-index images
+        keep = np.linspace(0, len(out) - 1, max_pairs).astype(int)
+        out = [out[k] for k in keep]
     return out
 
 
@@ -201,7 +218,7 @@ def robust_filter_matches(
     # sensitive init-pair / two-view-geometry call sites
     res = ransac_essential(
         key, b1, b2, jnp.ones(len(matches), bool), threshold=threshold,
-        solver="8pt",
+        solver="5pt",
     )
     inl = np.asarray(res.inliers)
     return matches[inl]

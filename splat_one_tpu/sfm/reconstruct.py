@@ -24,6 +24,7 @@ import numpy as np
 
 from splat_one_tpu.sfm import ba as ba_mod
 from splat_one_tpu.sfm import geometry as geo
+from splat_one_tpu.sfm.rigs import _rvec_to_R as _R_of
 
 
 @dataclasses.dataclass
@@ -34,6 +35,9 @@ class ReconstructConfig:
     triangulation_min_angle_deg: float = 1.0
     bundle_interval: int = 5  # global BA every N registrations
     bundle_max_iterations: int = 12  # config.yaml:115 analog
+    final_bundle_max_iterations: int = 40  # the closing polish rounds run
+    # LM to (near-)convergence — the interval bundles only need to keep
+    # the incremental build healthy
     outlier_threshold: float = 0.01  # angular reprojection
     min_parallax_deg: float = 2.0  # init-pair parallax requirement
     # windowed local BA after each resection (config.yaml:117-124
@@ -115,7 +119,7 @@ def triangulate_nview(
 
 
 def _reproj_ok(pose: np.ndarray, X: np.ndarray, b: np.ndarray, thr: float):
-    R = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+    R = _R_of(pose[:3])
     p = R @ X + pose[3:]
     n = np.linalg.norm(p)
     if n < 1e-9:
@@ -210,7 +214,7 @@ def incremental_reconstruct(
         {"init_pair": (i0, j0), "init_points": len(points)}
     )
 
-    def run_bundle(local_img=None):
+    def run_bundle(local_img=None, max_iters=None):
         """Global BA, or (with ``local_img``) windowed local BA: the new
         camera + its ``local_bundle_radius`` most covisible registered
         neighbours move; other cameras observing the window's points are
@@ -303,7 +307,8 @@ def incremental_reconstruct(
             cams, pts, problem,
             ba_mod.BAConfig(
                 max_iterations=(
-                    cfg.local_bundle_max_iterations
+                    max_iters if max_iters is not None
+                    else cfg.local_bundle_max_iterations
                     if is_local else cfg.bundle_max_iterations
                 ),
                 # gauge: global BA pins the first camera (unless GPS priors
@@ -400,7 +405,7 @@ def incremental_reconstruct(
             if len(regs) < 2:
                 continue
             Rs = [
-                np.asarray(ba_mod._rodrigues(jnp.asarray(poses[im][:3])))
+                _R_of(poses[im][:3])
                 for im, _ in regs
             ]
             ts = [poses[im][3:] for im, _ in regs]
@@ -434,7 +439,7 @@ def incremental_reconstruct(
             if len(regs) < 2:
                 continue
             Rs = [
-                np.asarray(ba_mod._rodrigues(jnp.asarray(poses[im][:3])))
+                _R_of(poses[im][:3])
                 for im, _ in regs
             ]
             ts = [poses[im][3:] for im, _ in regs]
@@ -457,8 +462,42 @@ def incremental_reconstruct(
 
     for _ in range(2):
         n_re = retriangulate()
-        run_bundle()
+        run_bundle(max_iters=cfg.final_bundle_max_iterations)
         report["steps"].append({"retriangulated": n_re})
+
+    # final re-resection polish: cameras registered early (or from a thin
+    # inlier set) can be stuck in a poor basin BA cannot leave; re-estimate
+    # every pose by PnP against the CONVERGED points and keep whichever of
+    # (current, re-estimated) reprojects more observations, then bundle
+    n_relocal = 0
+    for img in sorted(poses):
+        obs = [(tid, feat) for tid, feat in obs_of_image[img]
+               if tid in points]
+        if len(obs) < cfg.resection_min_inliers:
+            continue
+        X = np.stack([points[tid] for tid, _ in obs])
+        bb = np.stack([bearings[img][feat] for _, feat in obs])
+        key, k1 = jax.random.split(key)
+        R_est, t_est, inliers, n_inl = geo.ransac_pnp(
+            k1, jnp.asarray(X), jnp.asarray(bb),
+            jnp.ones(len(obs), bool), threshold=cfg.outlier_threshold,
+        )
+        cand = np.concatenate(
+            [_rvec_from_R(np.asarray(R_est)), np.asarray(t_est)]
+        ).astype(np.float32)
+        cur_ok = sum(
+            _reproj_ok(poses[img], x, b, cfg.outlier_threshold)
+            for x, b in zip(X, bb)
+        )
+        if int(n_inl) > cur_ok:
+            poses[img] = cand
+            n_relocal += 1
+    if n_relocal:
+        n_re = retriangulate()
+        run_bundle(max_iters=cfg.final_bundle_max_iterations)
+        report["steps"].append(
+            {"relocalized": n_relocal, "retriangulated": n_re}
+        )
 
     report["n_images"] = len(poses)
     report["n_points"] = len(points)
@@ -479,7 +518,7 @@ def align_reconstruction_to_gps(
     centers = []
     for im in common:
         pose = rec.poses[im]
-        R = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        R = _R_of(pose[:3])
         centers.append(-R.T @ pose[3:])
     A = np.stack(centers)  # source (reconstruction frame)
     B = np.stack([np.asarray(gps_positions[im], np.float64)
@@ -500,7 +539,7 @@ def align_reconstruction_to_gps(
     # x_cam = Rc x + tc = Rc ((world' - t_sim)/s R_sim^{-T}) ...
     poses_out = {}
     for im, pose in rec.poses.items():
-        Rc = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        Rc = _R_of(pose[:3])
         c = -Rc.T @ pose[3:]
         c_new = s * R_sim @ c + t_sim
         Rc_new = Rc @ R_sim.T
@@ -540,7 +579,7 @@ def align_reconstruction_orientation(
         return rec, {"aligned": False}
     downs = []
     for pose in rec.poses.values():
-        R = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        R = _R_of(pose[:3])
         if prior == "vertical":
             downs.append(R[2])  # viewing axis in world coords
         else:
@@ -552,18 +591,37 @@ def align_reconstruction_orientation(
     g = g / ng
     target = np.array([0.0, 0.0, -1.0])  # gravity points to -Z (Z up)
     if prior == "no_roll":
-        # project out: rotate so the average down has no component along
-        # the mean viewing axis (roll removal only)
-        target = g - np.array([0, 0, g[2]])
-        tn = np.linalg.norm(target)
-        if tn < 1e-8:
+        # roll removal only: rotate ABOUT the mean viewing axis so the
+        # component of "down" perpendicular to it becomes as vertical as
+        # possible (the comment's semantics — not a full gravity align)
+        views = [
+            _R_of(p[:3])[2] for p in rec.poses.values()
+        ]
+        v_axis = np.mean(views, axis=0)
+        nv = np.linalg.norm(v_axis)
+        if nv < 1e-8:
             return rec, {"aligned": False}
-        target = np.array([target[0] / tn, target[1] / tn, 0.0])
+        v_axis = v_axis / nv
+        g_perp = g - (g @ v_axis) * v_axis
+        t_perp = target - (target @ v_axis) * v_axis
+        if np.linalg.norm(g_perp) < 1e-8 or np.linalg.norm(t_perp) < 1e-8:
+            return rec, {"aligned": False}
+        g = g_perp / np.linalg.norm(g_perp)
+        target = t_perp / np.linalg.norm(t_perp)
     v = np.cross(g, target)
     c = float(np.dot(g, target))
     s = np.linalg.norm(v)
     if s < 1e-12:
-        R_w = np.eye(3) if c > 0 else -np.eye(3)
+        if c > 0:
+            R_w = np.eye(3)
+        else:
+            # exactly antiparallel: a 180-deg ROTATION about any axis
+            # perpendicular to g (-I would be a reflection, det = -1)
+            perp = np.cross(g, [1.0, 0.0, 0.0])
+            if np.linalg.norm(perp) < 1e-6:
+                perp = np.cross(g, [0.0, 1.0, 0.0])
+            perp = perp / np.linalg.norm(perp)
+            R_w = 2.0 * np.outer(perp, perp) - np.eye(3)
     else:
         K = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
                       [-v[1], v[0], 0]]) / s
@@ -573,7 +631,7 @@ def align_reconstruction_orientation(
              if rec.points else np.zeros(3))
     poses_out = {}
     for im, pose in rec.poses.items():
-        Rc = np.asarray(ba_mod._rodrigues(jnp.asarray(pose[:3])))
+        Rc = _R_of(pose[:3])
         cpos = -Rc.T @ pose[3:]
         c_new = R_w @ (cpos - pivot) + pivot
         Rc_new = Rc @ R_w.T
