@@ -92,6 +92,7 @@ def init_splats_random(
     init_opacity: float = 0.1,
     init_scale: float = 1.0,
     seed: int = 0,
+    feature_dim: int = 0,
 ) -> Tuple[Params, jax.Array]:
     """Random-init variant (reference init_type='random',
     gsplat_trainer.py:226-228)."""
@@ -99,7 +100,8 @@ def init_splats_random(
     points = (rng.uniform(size=(n, 3)) * 2 - 1) * extent
     rgbs = rng.uniform(size=(n, 3))
     return init_splats_from_points(
-        points, rgbs, capacity, sh_degree, init_opacity, init_scale, seed
+        points, rgbs, capacity, sh_degree, init_opacity, init_scale, seed,
+        feature_dim=feature_dim,
     )
 
 

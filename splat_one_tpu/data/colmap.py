@@ -78,7 +78,6 @@ def read_images_bin(path: str):
                 f.read(24 * npts), dtype=np.float64
             ).reshape(npts, 3)
             xys = data[:, :2].copy()
-            p3d = data[:, 2].view(np.int64)[::].astype(np.int64)
             # point3D ids are int64 interleaved as the 3rd column
             p3d = np.frombuffer(
                 data[:, 2].tobytes(), dtype=np.int64

@@ -118,6 +118,11 @@ def normalize_scene(c2w: np.ndarray, points: np.ndarray):
     points = points * scale
     S = np.diag([scale, scale, scale, 1.0])
 
+    if len(points) == 0:
+        # shots-only reconstruction: PCA alignment has nothing to fit and
+        # np.median of an empty array would NaN every camera pose
+        return c2w, points, S @ T1
+
     T2 = align_principal_axes(points)
     c2w = transform_cameras(T2, c2w)
     points = transform_points(T2, points)

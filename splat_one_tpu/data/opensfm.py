@@ -104,7 +104,7 @@ def undistort_maps(
     fisheye.initUndistortRectifyMap analog with an explicit mask
     (opensfm.py:246-298).
 
-    ``perspective``: Brown radial k1/k2 (forward distortion applied to the
+    ``perspective``: Brown-Conrady k1/k2 (+ tangential p1/p2) (forward distortion applied to the
     ideal coords — exact inverse remap). ``fisheye``: equidistant model
     with theta-polynomial k1..k4 (OpenCV fisheye convention): the
     undistorted ideal ray at radius r maps to distorted radius
@@ -130,10 +130,16 @@ def undistort_maps(
     else:
         k1 = float(dist[0]) if len(dist) > 0 else 0.0
         k2 = float(dist[1]) if len(dist) > 1 else 0.0
+        p1 = float(dist[2]) if len(dist) > 2 else 0.0
+        p2 = float(dist[3]) if len(dist) > 3 else 0.0
         r2 = x * x + y * y
         d = 1.0 + r2 * (k1 + k2 * r2)
-        xs = x * d * fx + cx
-        ys = y * d * fy + cy
+        # Brown-Conrady incl. tangential p1/p2 (the COLMAP OPENCV model
+        # maps dist = [k1, k2, p1, p2]; radial-only dropped them)
+        xd = x * d + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * d + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        xs = xd * fx + cx
+        ys = yd * fy + cy
     valid = (xs >= 0) & (xs < width - 1) & (ys >= 0) & (ys < height - 1)
     return xs, ys, valid
 

@@ -21,7 +21,6 @@ def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)):
     f = target - eye
     f = f / np.linalg.norm(f)
     up = np.asarray(up, np.float64)
-    r = np.cross(up, f) * -1.0
     r = np.cross(f, up)
     r = r / (np.linalg.norm(r) + 1e-12)
     d = np.cross(f, r)

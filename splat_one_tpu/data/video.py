@@ -94,7 +94,12 @@ def parse_nmea(nmea_path: str) -> List[Dict]:
         out = d + m / 60.0
         return -out if hemi in ("S", "W") else out
 
-    alts = {}  # hhmmss.ss -> altitude (from GGA)
+    def _tkey(t: str) -> str:
+        # GGA/RMC decimal precision differs per receiver ("123519" vs
+        # "123519.00"): match at whole-second resolution
+        return t.split(".")[0]
+
+    alts = {}  # hhmmss -> altitude (from GGA)
     rows = []
     with open(nmea_path) as fh:
         for line in fh:
@@ -106,7 +111,7 @@ def parse_nmea(nmea_path: str) -> List[Dict]:
             typ = p[0][3:]
             try:
                 if typ == "GGA" and len(p) > 9 and p[9]:
-                    alts[p[1]] = float(p[9])
+                    alts[_tkey(p[1])] = float(p[9])
                 elif typ == "RMC" and len(p) > 9 and p[2] == "A":
                     t, d = p[1], p[9]
                     ts = dt.datetime(
@@ -119,7 +124,7 @@ def parse_nmea(nmea_path: str) -> List[Dict]:
                         "time_s": ts,
                         "lat": _deg(p[3], p[4]),
                         "lon": _deg(p[5], p[6]),
-                        "alt": alts.get(t, 0.0),
+                        "alt": alts.get(_tkey(t), 0.0),
                     })
             except (ValueError, IndexError):
                 continue  # malformed sentence: skip (real logs have them)

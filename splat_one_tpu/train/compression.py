@@ -109,6 +109,12 @@ def compress(
         _to_grid((mq & 0xFF).astype(np.uint8), side),
     )
 
+    if "sh0" not in params:
+        raise NotImplementedError(
+            "PNG compression covers the SH color path (reference parity: "
+            "gsplat PngCompression); app_opt feature/color splats are not "
+            "compressible"
+        )
     scales = quant8("scales", np.asarray(params["scales"])[idx])
     _write_png(os.path.join(out_dir, "scales.png"), _to_grid(scales, side))
     quats_n = np.asarray(params["quats"])[idx]

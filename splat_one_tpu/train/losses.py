@@ -50,9 +50,16 @@ def regularizers(
     alive: jax.Array,
     opacity_reg: float = 0.0,
     scale_reg: float = 0.0,
+    n_alive: jax.Array = None,  # GLOBAL alive count: under a gauss-sharded
+    # mesh the local count would make the per-gaussian penalty n_shards
+    # stronger (and shard-dependent)
 ) -> jax.Array:
     out = 0.0
-    n = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    n = (
+        jnp.maximum(n_alive.astype(jnp.float32), 1.0)
+        if n_alive is not None
+        else jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    )
     if opacity_reg > 0:
         o = jax.nn.sigmoid(params["opacities"])
         out = out + opacity_reg * jnp.sum(jnp.where(alive, o, 0.0)) / n

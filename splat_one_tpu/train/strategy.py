@@ -297,7 +297,12 @@ def mcmc_refine(
         jnp.clip(new_opa_t, 1e-7, 1 - 1e-7)
         / (1 - jnp.clip(new_opa_t, 1e-7, 1 - 1e-7))
     )
-    for k in ("means", "quats", "sh0", "shN"):
+    for k in params:
+        # every per-gaussian array follows the relocation (incl. the
+        # appearance-path features/colors — hardcoding sh0/shN crashed
+        # app_opt MCMC runs); scales/opacities take the reduced values
+        if k in ("scales", "opacities"):
+            continue
         params[k] = reloc(params[k], params[k][tgt])
     params["scales"] = reloc(params["scales"], new_scales_t[tgt])
     params["opacities"] = reloc(params["opacities"], new_opa_logit[tgt])
@@ -320,9 +325,36 @@ def mcmc_refine(
     rank = jnp.cumsum(free.astype(jnp.int32)) - 1
     grow_here = free & (rank < budget)
     tgt2 = jax.random.categorical(k2, logits, shape=(cap,))
-    for k in ("means", "quats", "sh0", "shN", "scales", "opacities"):
+    # gsplat add_new_gs applies the relocation opacity/scale reduction to
+    # BOTH the sampled source and its new copy (splitting mass, not
+    # duplicating it): n = 1 + times-sampled-by-a-grown-slot
+    picks2 = jnp.zeros((cap,), jnp.int32).at[tgt2].add(
+        grow_here.astype(jnp.int32))
+    opa2_t, scales2_t = _relocation_opacity_scale(
+        jax.nn.sigmoid(params["opacities"]), params["scales"], picks2 + 1
+    )
+    opa2_logit = jnp.log(
+        jnp.clip(opa2_t, 1e-7, 1 - 1e-7)
+        / (1 - jnp.clip(opa2_t, 1e-7, 1 - 1e-7))
+    )
+    for k in params:
+        if k in ("scales", "opacities"):
+            continue
         m = grow_here.reshape((-1,) + (1,) * (params[k].ndim - 1))
         params[k] = jnp.where(m, params[k][tgt2], params[k])
+    params["opacities"] = jnp.where(
+        grow_here, opa2_logit[tgt2], params["opacities"]
+    )
+    params["scales"] = jnp.where(
+        grow_here[:, None], scales2_t[tgt2], params["scales"]
+    )
+    was_sampled = (picks2 > 0) & live
+    params["opacities"] = jnp.where(
+        was_sampled, opa2_logit, params["opacities"]
+    )
+    params["scales"] = jnp.where(
+        was_sampled[:, None], scales2_t, params["scales"]
+    )
     alive = alive | grow_here
 
     touched = dead | grow_here

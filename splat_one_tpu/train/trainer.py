@@ -114,6 +114,14 @@ class Trainer:
         if isinstance(cfg.strategy, MCMCStrategyCfg):
             capacity = max(capacity, _next_pow2(cfg.strategy.cap_max))
         if mesh is not None:
+            if cfg.raster_impl != "stream":
+                # the tiled backend has no supertile-slab sharding: every
+                # gauss shard would composite the full gathered set and
+                # the all_gather transpose would sum n_gauss IDENTICAL
+                # cotangents (n-fold gradients) — refuse loudly
+                raise ValueError(
+                    "mesh training requires raster_impl='stream'"
+                )
             n_g = mesh.shape["gauss"]
             capacity = -(-capacity // n_g) * n_g
             assert cfg.batch_size % mesh.shape["data"] == 0, (
@@ -133,6 +141,7 @@ class Trainer:
                 cfg.init_extent * scene.scene_scale,
                 sh_degree=cfg.sh_degree, init_opacity=cfg.init_opa,
                 init_scale=cfg.init_scale, seed=cfg.seed,
+                feature_dim=feat_dim,
             )
         self.capacity = capacity
         opt_state = opt.adam_init(params)
@@ -453,7 +462,8 @@ class Trainer:
                 loss = loss + cfg.depth_lambda * dl
                 m["depthloss"] = dl
             reg = L.regularizers(
-                params, alive, cfg.opacity_reg, cfg.scale_reg
+                params, alive, cfg.opacity_reg, cfg.scale_reg,
+                n_alive=psum_gauss(jnp.sum(alive.astype(jnp.int32))),
             )
             loss = loss + reg
             m["loss"] = loss
