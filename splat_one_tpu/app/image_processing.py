@@ -55,7 +55,14 @@ class ImageProcessor:
             img = img.resize(
                 (int(w * s), int(h * s)), Image.LANCZOS
             )
-            img.save(path)
+            # keep EXIF (focal/GPS/orientation feed the SfM stages) and
+            # avoid recompressing JPEGs at PIL's default quality 75
+            kw = {}
+            if "exif" in img.info:
+                kw["exif"] = img.info["exif"]
+            if path.lower().endswith((".jpg", ".jpeg")):
+                kw["quality"] = 95
+            img.save(path, **kw)
             n += 1
         return n
 

@@ -73,15 +73,18 @@ function drawPts(){
 }
 async function predict(){
   if(busy||!pts.length) return; busy=true; msg.textContent='predicting...';
-  const r=await fetch('/predict',{method:'POST',
-    body:JSON.stringify({name:name,points:pts,labels:labels})});
-  const b=await r.blob();
-  const url=URL.createObjectURL(b);
-  const m=new Image();
-  m.onload=()=>{const c=ovl.getContext('2d');
-    c.clearRect(0,0,ovl.width,ovl.height); c.drawImage(m,0,0); drawPts();
-    msg.textContent=pts.length+' points'; busy=false;};
-  m.src=url;
+  try{
+    const r=await fetch('/predict',{method:'POST',
+      body:JSON.stringify({name:name,points:pts,labels:labels})});
+    const b=await r.blob();
+    const url=URL.createObjectURL(b);
+    const m=new Image();
+    m.onload=()=>{const c=ovl.getContext('2d');
+      c.clearRect(0,0,ovl.width,ovl.height); c.drawImage(m,0,0); drawPts();
+      msg.textContent=pts.length+' points'; busy=false;};
+    m.onerror=()=>{msg.textContent='predict failed'; busy=false;};
+    m.src=url;
+  } catch(e){ msg.textContent='predict failed'; busy=false; }
 }
 async function save(){
   if(!pts.length) return;

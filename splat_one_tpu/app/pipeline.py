@@ -180,6 +180,7 @@ def match_features(
 
         pos = []
         zone = None  # one zone for the whole set (zone-boundary safety)
+        has_gps = []
         for name in images:
             g = _load_exif(workdir, name).get("gps", {})
             if "latitude" in g:
@@ -187,9 +188,16 @@ def match_features(
                     g["latitude"], g["longitude"], zone
                 )
                 pos.append([e, n, g.get("altitude", 0.0)])
+                has_gps.append(True)
             else:
-                pos.append([0.0, 0.0, 0.0])
+                # no fix: exclude from the GPS criterion (a shared [0,0,0]
+                # placeholder would cluster all no-GPS images together and
+                # can even produce self-pairs under distance ties)
+                pos.append([np.inf, np.inf, np.inf])
+                has_gps.append(False)
         gps = np.asarray(pos)
+        if not any(has_gps):
+            gps = None
     pairs = M.pairs_to_match(
         len(images), order_neighbors=order_neighbors,
         gps_positions=gps, gps_neighbors=gps_neighbors,

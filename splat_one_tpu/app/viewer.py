@@ -29,10 +29,11 @@ _PAGE = """<!DOCTYPE html>
 let pos=[0,0,-3], yaw=0, pitch=0, model="pinhole", busy=false;
 async function refresh(){
   if(busy) return; busy=true;
-  const q=`/render?x=${pos[0]}&y=${pos[1]}&z=${pos[2]}&yaw=${yaw}&pitch=${pitch}&model=${model}`;
-  const r=await fetch(q); const b=await r.blob();
-  document.getElementById('view').src=URL.createObjectURL(b);
-  busy=false;
+  try{
+    const q=`/render?x=${pos[0]}&y=${pos[1]}&z=${pos[2]}&yaw=${yaw}&pitch=${pitch}&model=${model}`;
+    const r=await fetch(q); const b=await r.blob();
+    document.getElementById('view').src=URL.createObjectURL(b);
+  } finally { busy=false; }
 }
 document.addEventListener('keydown',e=>{
   const s=0.15, r=0.08;
@@ -156,14 +157,22 @@ def serve_workdir(workdir: str, port: int = 8080, ckpt: str = None):
     tr = Trainer(cfg, scene)
     ckpt_dir = os.path.join(workdir, "results", "ckpts")
     if ckpt is None and os.path.isdir(ckpt_dir):
-        cands = sorted(os.listdir(ckpt_dir))
+        # latest by STEP NUMBER ("ckpt_7000" sorts after "ckpt_30000"
+        # lexicographically) and npz files only (orbax saves directories)
+        import re as _re
+
+        cands = []
+        for f in os.listdir(ckpt_dir):
+            m = _re.match(r"ckpt_(\d+).*\.npz$", f)
+            if m:
+                cands.append((int(m.group(1)), f))
         if cands:
-            ckpt = os.path.join(ckpt_dir, cands[-1])
+            ckpt = os.path.join(ckpt_dir, max(cands)[1])
     if ckpt:
         tr.load_checkpoint(ckpt)
 
     def render_fn(c2w, K, model):
-        rgb, _ = tr.render_view(c2w, K)
+        rgb, _ = tr.render_view(c2w, K, camera_model=model)
         return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
 
     ViewerServer(render_fn, port=port).serve_forever()

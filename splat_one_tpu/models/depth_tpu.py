@@ -155,10 +155,34 @@ class DepthAnythingTPU:
         K = np.array(
             [[f, 0, size / 2], [0, f, size / 2], [0, 0, 1]], np.float32
         )
+        # panorama pixel directions (computed once): every output pixel
+        # GATHERS from each crop it falls into — the previous scatter (crop
+        # samples -> nearest pano pixel) left >90% of a real-size panorama
+        # untouched (review r2)
+        uu, vv = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+        lon_p = (uu / W - 0.5) * 2 * np.pi
+        lat_p = (0.5 - vv / H) * np.pi
+        dirs = np.stack(
+            [
+                np.cos(lat_p) * np.sin(lon_p),
+                -np.sin(lat_p),
+                np.cos(lat_p) * np.cos(lon_p),
+            ],
+            -1,
+        )  # [H, W, 3] world directions
+        Rs = []
         for k in range(n_views):
             yaw = 2 * np.pi * k / n_views
             cy, sy = np.cos(yaw), np.sin(yaw)
-            R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+            Rs.append(np.array(
+                [[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32
+            ))
+        # two polar views: azimuthal crops can never cover the poles
+        for sgn in (1.0, -1.0):
+            Rs.append(np.array(
+                [[1, 0, 0], [0, 0, -sgn], [0, sgn, 0]], np.float32
+            ))
+        for R in Rs:
             # sample the perspective crop from the panorama
             u, v = np.meshgrid(np.arange(size) + 0.5, np.arange(size) + 0.5)
             d = np.stack(
@@ -174,12 +198,40 @@ class DepthAnythingTPU:
             yi = np.clip(py.astype(int), 0, H - 1)
             crop = bgr[yi, xi]
             dep = self.infer_image(crop)
-            # scatter back with angular feathering
-            wgt = np.cos(
-                (u / size - 0.5) * np.pi
-            ) * np.cos((v / size - 0.5) * np.pi)
-            np.add.at(out, (yi, xi), dep * wgt)
-            np.add.at(wsum, (yi, xi), wgt)
+            # normalize the crop's relative inverse depth so crops agree
+            # in scale before blending
+            med = np.median(dep)
+            dep = dep / max(med, 1e-6)
+            # gather: project every pano direction into this crop
+            dc = dirs @ R  # crop-frame directions
+            zc = dc[..., 2]
+            in_front = zc > 1e-6
+            xc = np.where(in_front, dc[..., 0] / np.maximum(zc, 1e-6), 0.0)
+            yc = np.where(in_front, dc[..., 1] / np.maximum(zc, 1e-6), 0.0)
+            cu = xc * f + K[0, 2]
+            cv = yc * f + K[1, 2]
+            inside = (
+                in_front & (cu >= 0) & (cu < size - 1)
+                & (cv >= 0) & (cv < size - 1)
+            )
+            x0 = np.clip(cu.astype(int), 0, size - 2)
+            y0 = np.clip(cv.astype(int), 0, size - 2)
+            fx_ = np.clip(cu - x0, 0, 1)
+            fy_ = np.clip(cv - y0, 0, 1)
+            samp = (
+                dep[y0, x0] * (1 - fx_) * (1 - fy_)
+                + dep[y0, x0 + 1] * fx_ * (1 - fy_)
+                + dep[y0 + 1, x0] * (1 - fx_) * fy_
+                + dep[y0 + 1, x0 + 1] * fx_ * fy_
+            )
+            wgt = np.where(
+                inside,
+                np.cos((cu / size - 0.5) * np.pi)
+                * np.cos((cv / size - 0.5) * np.pi),
+                0.0,
+            )
+            out += samp * wgt
+            wsum += wgt
         return out / np.maximum(wsum, 1e-6)
 
 

@@ -57,14 +57,22 @@ def init_lightglue(key, desc_dim: int = 128) -> Dict:
 
 
 def _rotary(x: jax.Array, xy01: jax.Array) -> jax.Array:
-    """Rotary positional encoding by normalized keypoint coordinates."""
+    """Rotary positional encoding by normalized keypoint coordinates.
+
+    x and y get SEPARATE frequency halves (real LightGlue's 2-D RoPE):
+    summing them onto one bank collapses position to x+y, making keypoints
+    along an anti-diagonal positionally indistinguishable."""
     d4 = x.shape[-1] // 4
-    freqs = jnp.exp(
-        jnp.linspace(0.0, 5.0, d4)
-    )  # log-spaced spatial frequencies
-    ang = (
-        xy01[..., 0:1] * freqs[None, None] + xy01[..., 1:2] * freqs[None, None]
-    )  # [B, K, d4]
+    dh = d4 // 2
+    freqs = jnp.exp(jnp.linspace(0.0, 5.0, dh))  # log-spaced frequencies
+    ang = jnp.concatenate(
+        [
+            xy01[..., 0:1] * freqs[None, None],
+            xy01[..., 1:2] * freqs[None, None],
+        ],
+        axis=-1,
+    )  # [B, K, 2*dh]
+    ang = jnp.pad(ang, ((0, 0), (0, 0), (0, d4 - 2 * dh)))
     c, s = jnp.cos(ang), jnp.sin(ang)
     x1, x2, rest = x[..., :d4], x[..., d4:2 * d4], x[..., 2 * d4:]
     return jnp.concatenate(

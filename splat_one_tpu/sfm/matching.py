@@ -120,8 +120,17 @@ def pairs_to_match(
             gps_positions[:, None] - gps_positions[None], axis=-1
         )
         for i in range(n_images):
-            for j in np.argsort(d[i])[1 : gps_neighbors + 1]:
-                pairs.add((min(i, int(j)), max(i, int(j))))
+            if not np.isfinite(gps_positions[i]).all():
+                continue  # no fix: excluded from the GPS criterion
+            taken = 0
+            for j in np.argsort(d[i]):
+                j = int(j)
+                if j == i or not np.isfinite(d[i, j]):
+                    continue
+                pairs.add((min(i, j), max(i, j)))
+                taken += 1
+                if taken >= gps_neighbors:
+                    break
     if vlad_neighbors > 0 and descriptors is not None:
         sig = vlad_signatures(descriptors, valids=desc_valids)
         sim = sig @ sig.T

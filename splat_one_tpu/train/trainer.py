@@ -1253,9 +1253,14 @@ class Trainer:
         return stats
 
     # ------------------------------------------------------------------
-    def render_view(self, camtoworld: np.ndarray, K: np.ndarray):
+    def render_view(self, camtoworld: np.ndarray, K: np.ndarray,
+                    camera_model: str = None):
         """Interactive single-view render (reference _viewer_render_fn,
-        :916-940)."""
+        :916-940). ``camera_model`` overrides the training model — the
+        reference viewer's pinhole<->spherical toggle
+        (app/gsplat_manager.py:105-118)."""
+        if camera_model and camera_model != self.cfg.camera_model:
+            return self._render_view_alt(camtoworld, K, camera_model)
         rgb, alpha, depth = self._eval_render(
             self.state,
             jnp.asarray(camtoworld[None]),
@@ -1263,6 +1268,44 @@ class Trainer:
             jnp.zeros((1,), jnp.int32),
         )
         return np.asarray(rgb[0]), np.asarray(depth[0])
+
+    def _render_view_alt(self, camtoworld, K, camera_model: str):
+        """Render with a non-training camera model (viewer toggle)."""
+        fn = getattr(self, "_alt_render_cache", None)
+        if fn is None or self._alt_render_model != camera_model:
+            cfg = self.cfg
+            caps = self._choose_caps(self.capacity)
+
+            def render(params, alive, c2w, Kk):
+                means = params["means"]
+                sh = jnp.concatenate(
+                    [params["sh0"], params["shN"]], axis=1
+                ) if "sh0" in params else None
+                colors = (
+                    sh if sh is not None
+                    else jax.nn.sigmoid(params["colors"])
+                )
+                render_out, alpha, _ = rasterization(
+                    means, params["quats"], jnp.exp(params["scales"]),
+                    jnp.where(
+                        alive, jax.nn.sigmoid(params["opacities"]), 0.0
+                    ),
+                    colors, invert_se3(c2w[None]), Kk[None],
+                    self.width, self.height,
+                    sh_degree=(cfg.sh_degree if sh is not None else None),
+                    camera_model=camera_model, render_mode="RGB+ED",
+                    tile_size=cfg.tile_size, caps=caps,
+                )
+                return render_out[0, ..., :3], render_out[0, ..., 3:]
+
+            fn = jax.jit(render)
+            self._alt_render_cache = fn
+            self._alt_render_model = camera_model
+        rgb, depth = fn(
+            self.state.params, self.state.alive,
+            jnp.asarray(camtoworld), jnp.asarray(K)
+        )
+        return np.asarray(rgb), np.asarray(depth)
 
 
 def _next_pow2(n: int) -> int:

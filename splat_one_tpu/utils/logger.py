@@ -8,11 +8,13 @@ import os
 
 
 def setup_logger(workdir: str = ".", name: str = "splat_one_tpu"):
-    log_dir = os.path.join(workdir, "logs")
-    os.makedirs(log_dir, exist_ok=True)
-    logger = logging.getLogger(name)
+    # key the logger by workdir: a second call with a different workdir
+    # must not silently keep appending to the first one's file
+    logger = logging.getLogger(f"{name}@{os.path.abspath(workdir)}")
     if logger.handlers:
         return logger
+    log_dir = os.path.join(workdir, "logs")
+    os.makedirs(log_dir, exist_ok=True)
     logger.setLevel(logging.INFO)
     fmt = logging.Formatter(
         "%(asctime)s | %(levelname)s | %(name)s | %(message)s"

@@ -32,6 +32,10 @@ _build_failed = False
 
 
 def _build() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        # deployed without the native source tree: use a prebuilt .so if
+        # present, else fall back (PIL path) instead of crashing
+        return _LIB if os.path.exists(_LIB) else None
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(
         _SRC
     ):
