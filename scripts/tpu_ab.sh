@@ -3,6 +3,7 @@
 # Run when the axon tunnel is back: bash scripts/tpu_ab.sh 2>&1 | tee /tmp/tpu_ab.log
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 echo "=== parity (TPU, stream vs tiled) ==="
 STREAM_CPU=0 timeout 900 python -u scripts/stream_parity.py 2>&1 | grep -v WARNING
 echo "=== bench default (G=128, observed caps, new kernels) ==="

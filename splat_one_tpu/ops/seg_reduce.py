@@ -39,7 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 R = 2048  # output gaussians per block
 CH = 1024  # slots per chunk
 NBUF = 4
-NSPLIT = 2  # bf16 mantissa splits: 2 -> ~16-bit-exact products, 3 -> exact
+# bf16 mantissa splits of the data operand: 2 -> ~16-bit-exact products,
+# 3 -> exact f32 products (the one-hot operand is exact in bf16 already).
+# Measured on TPU (r2): NSPLIT=3 costs ~2% end-to-end and does NOT move
+# the stream-vs-tiled grad parity residual (~7e-4 rel) — that error comes
+# from suffix-cancellation of the forward kernel's split-bf16 color
+# accumulations (see scripts/stream_parity.py), not from this reduction.
+NSPLIT = 2
 
 
 def _use_interpret() -> bool:

@@ -212,9 +212,19 @@ def robust_filter_matches(
     bearings2: np.ndarray,
     threshold: float = 0.008,
     min_matches: int = 16,
+    min_inliers: int = 20,
 ):
     """Two-view geometric verification of putative matches (the reference's
-    robust matching step inside match_features). Returns filtered matches."""
+    robust matching step inside match_features). Returns filtered matches.
+
+    ``min_inliers`` rejects the whole pair when RANSAC's consensus set is
+    small (reference config/config.yaml robust_matching_min_match: 20):
+    between views with NO true overlap, an essential model can always
+    collect a spurious 10-16 "inlier" consensus from false putative
+    matches — measured on the 12-view ring e2e scene, geometrically
+    disjoint pairs produced 12-16 inliers vs >=121 for true pairs, and
+    those spurious pairs chained into false long-range tracks that bent
+    the ring (the r2 warped-BA-minimum regression)."""
     from splat_one_tpu.sfm.geometry import ransac_essential
 
     if len(matches) < min_matches:
@@ -229,5 +239,7 @@ def robust_filter_matches(
         key, b1, b2, jnp.ones(len(matches), bool), threshold=threshold,
         solver="5pt",
     )
+    if int(res.n_inliers) < min_inliers:
+        return matches[:0]
     inl = np.asarray(res.inliers)
     return matches[inl]

@@ -54,15 +54,25 @@ def build_tracks(
             uf.union(int(offsets[i] + fi), int(offsets[j] + fj))
 
     groups: Dict[int, Dict[int, int]] = {}
+    bad: set = set()
     for img in range(len(n_features)):
         for f in range(n_features[img]):
             root = uf.find(int(offsets[img] + f))
             g = groups.setdefault(root, {})
-            # a track may only use one feature per image; keep the first
-            if img not in g:
+            # two features of the SAME image merged into one component is
+            # proof of a false match somewhere in the chain — the whole
+            # track is unreliable. Discard it (OpenSfM's tracks_manager
+            # does the same; keeping "the first" feature silently injects
+            # observations of a different 3D point and warps BA).
+            if img in g:
+                bad.add(root)
+            else:
                 g[img] = f
 
-    tracks = [g for g in groups.values() if len(g) >= min_track_length]
+    tracks = [
+        g for root, g in groups.items()
+        if root not in bad and len(g) >= min_track_length
+    ]
     track_of = {}
     for tid, g in enumerate(tracks):
         for img, f in g.items():
