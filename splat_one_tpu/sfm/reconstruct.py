@@ -53,6 +53,15 @@ class ReconstructConfig:
     # position-prior analog). Requires gps_positions at reconstruct time.
     bundle_use_gps: bool = False
     gps_sd_m: float = 5.0
+    # graduated non-convexity for the final polish: anneal the robust scale
+    # 8x -> 1x with relaxed retriangulation acceptance at each stage (GNC).
+    # A/B on the 12-view ring scene (scripts/sfm_ring_repro.py): default
+    # pipeline median center error 0.117*spread; anneal 0.193*spread —
+    # the relaxed re-admission pulls in marginal tracks that outweigh the
+    # convexification, so this stays OFF by default; kept as an escape
+    # hatch for scenes that do land in a warped robust-loss minimum.
+    final_anneal: bool = False
+    anneal_schedule: Tuple[float, ...] = (8.0, 4.0, 2.0, 1.0)
 
 
 @dataclasses.dataclass
@@ -214,7 +223,8 @@ def incremental_reconstruct(
         {"init_pair": (i0, j0), "init_points": len(points)}
     )
 
-    def run_bundle(local_img=None, max_iters=None):
+    def run_bundle(local_img=None, max_iters=None, loss_scale_mult=1.0,
+                   filter_outliers=True):
         """Global BA, or (with ``local_img``) windowed local BA: the new
         camera + its ``local_bundle_radius`` most covisible registered
         neighbours move; other cameras observing the window's points are
@@ -311,6 +321,7 @@ def incremental_reconstruct(
                     else cfg.local_bundle_max_iterations
                     if is_local else cfg.bundle_max_iterations
                 ),
+                loss_scale=ba_mod.BAConfig.loss_scale * loss_scale_mult,
                 # gauge: global BA pins the first camera (unless GPS priors
                 # fix the frame); a local window is anchored by its fixed
                 # boundary cameras (or falls back to pinning)
@@ -336,6 +347,13 @@ def incremental_reconstruct(
             return
         # outlier filtering (config.yaml bundle_outlier_* analog)
         removed = 0
+        if not filter_outliers:
+            report["steps"].append(
+                {"bundle": len(img_list), "removed": 0,
+                 "cost": float(info["final_cost"]),
+                 "loss_scale_mult": loss_scale_mult}
+            )
+            return
         for tid in list(points.keys()):
             oks = [
                 _reproj_ok(
@@ -432,7 +450,10 @@ def incremental_reconstruct(
     # final polish: retriangulate every track from the converged poses
     # (recovers tracks dropped as outliers mid-way), then a stronger BA.
     # (COLMAP/OpenSfM-style retriangulation pass.)
-    def retriangulate():
+    def retriangulate(angle_mult=1.0):
+        # angle_mult relaxes the reprojection acceptance in step with the
+        # annealed robust scale, re-admitting ring-closure tracks that look
+        # like outliers while the solution is still warped
         n_re = 0
         for tid, tr in enumerate(tracks):
             regs = [(im, f) for im, f in tr.items() if im in poses]
@@ -449,7 +470,7 @@ def incremental_reconstruct(
                 continue
             ok = sum(
                 _reproj_ok(poses[im], Xp, bearings[im][f],
-                           cfg.outlier_threshold)
+                           cfg.outlier_threshold * angle_mult)
                 for im, f in regs
             )
             if ok >= 2:
@@ -460,10 +481,29 @@ def incremental_reconstruct(
                 del points[tid]
         return n_re
 
-    for _ in range(2):
+    if cfg.final_anneal:
+        # graduated non-convexity: relax the robust scale, re-admit all
+        # geometrically consistent tracks, and tighten stage by stage.
+        # Outliers are only filtered at the final (1x) scale so closure
+        # constraints survive the warped intermediate states.
+        for mult in cfg.anneal_schedule:
+            n_re = retriangulate(angle_mult=mult)
+            run_bundle(
+                max_iters=cfg.final_bundle_max_iterations,
+                loss_scale_mult=mult,
+                filter_outliers=(mult == cfg.anneal_schedule[-1]),
+            )
+            report["steps"].append(
+                {"retriangulated": n_re, "anneal_mult": mult}
+            )
         n_re = retriangulate()
         run_bundle(max_iters=cfg.final_bundle_max_iterations)
         report["steps"].append({"retriangulated": n_re})
+    else:
+        for _ in range(2):
+            n_re = retriangulate()
+            run_bundle(max_iters=cfg.final_bundle_max_iterations)
+            report["steps"].append({"retriangulated": n_re})
 
     # final re-resection polish: cameras registered early (or from a thin
     # inlier set) can be stuck in a poor basin BA cannot leave; re-estimate

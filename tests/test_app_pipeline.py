@@ -128,14 +128,13 @@ class TestWorkdirPipeline:
         # mechanics guard: the ring must be recovered as a ring (bounded
         # drift), not a catastrophically wrong or collapsed solution.
         # Sub-pixel accuracy tightening is round-2 work.
-        assert err.max() < 0.9 * spread, (err, spread)
-        # REGRESSION MARKER (r2): round 1 met 0.35*spread here; the r2 SfM
-        # accuracy-tier rework (5-pt init, windowed local BA, retriangulate
-        # scheduling) trades registration robustness (10/12 -> 12/12 on
-        # this scene) for median pose accuracy (~0.39*spread). The config
-        # A/B table lives in NOTES_ROUND2.md; tightening back to 0.35 is a
-        # named round-3 item — do NOT loosen further.
-        assert np.median(err) < 0.45 * spread, (err, spread)
+        assert err.max() < 0.8 * spread, (err, spread)
+        # round-1 accuracy bars restored: the r2 review fixes (PnP
+        # cheirality, pi-stable log map) cured the "bent ring" warped
+        # minimum — measured median 0.117*spread / max 0.325*spread on this
+        # scene (scripts/sfm_ring_repro.py; graduated-anneal A/B was worse
+        # and stays off). Do NOT loosen these bars.
+        assert np.median(err) < 0.35 * spread, (err, spread)
 
 
 class TestMaskStage:
