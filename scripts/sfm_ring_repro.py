@@ -41,6 +41,27 @@ def build_scene():
     W = H = 256
     c2ws, Ks = ring_cameras(12, 2.0, -0.3, 60.0, W, H)
     np.save(os.path.join(WD, "gt_c2ws.npy"), np.stack(c2ws))
+    # Cache stamp: scene params + feature/match/tracks source mtimes. A
+    # mismatch rebuilds the cache so code changes can't silently reuse
+    # stale features/matches (ADVICE r2).
+    import hashlib
+    sfm_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "splat_one_tpu", "sfm")
+    h = hashlib.sha256(f"ring12 r2.0 z-0.3 fov60 {W}x{H} kp1500".encode())
+    for fn in ("features.py", "matching.py", "tracks.py"):
+        p = os.path.join(sfm_dir, fn)
+        if os.path.exists(p):
+            h.update(open(p, "rb").read())
+    stamp = h.hexdigest()[:16]
+    stamp_path = os.path.join(WD, "cache_stamp.txt")
+    cached = os.path.exists(os.path.join(WD, "tracks.json"))
+    if cached and (not os.path.exists(stamp_path)
+                   or open(stamp_path).read().strip() != stamp):
+        print(f"cache stamp mismatch — rebuilding scene in {WD}")
+        os.remove(os.path.join(WD, "tracks.json"))
+        cached = False
+    if cached:
+        print(f"using cached scene: {WD}")
     if not os.path.exists(os.path.join(WD, "tracks.json")):
         os.makedirs(os.path.join(WD, "images"), exist_ok=True)
         imgs = textured_sphere_images(c2ws, Ks, W, H)
@@ -58,6 +79,8 @@ def build_scene():
                                  feature_process_size=256)
         pipeline.match_features(WD)
         pipeline.create_tracks(WD)
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
     return np.stack(c2ws)
 
 

@@ -46,7 +46,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from splat_one_tpu.ops.projection import Projected
+from splat_one_tpu.ops.projection import Projected, conic_ellipse_radii
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,29 +110,32 @@ def _index_of_slot(markers_at: jax.Array, capacity: int) -> jax.Array:
 
 def tile_spans(
     uv: jax.Array,  # [M, 2]
-    radius: jax.Array,  # [M]
+    rx: jax.Array,  # [M] 3-sigma ellipse half-extent in x
+    ry: jax.Array,  # [M] 3-sigma ellipse half-extent in y
     valid: jax.Array,  # [M]
     width: int,
     height: int,
     tile_size: int,
     spherical_wrap: bool,
 ):
-    """Per-gaussian tile bbox: (tx0, ty0, span_x, span_y). tx0 may be negative
-    for spherical wraparound; tile x is taken mod TW at expansion time."""
+    """Per-gaussian tile bbox: (tx0, ty0, span_x, span_y) from the per-axis
+    3-sigma ellipse extents (projection.conic_ellipse_radii — shared with the
+    stream builder/kernels and the oracle). tx0 may be negative for spherical
+    wraparound; tile x is taken mod TW at expansion time."""
     TW = -(-width // tile_size)
     TH = -(-height // tile_size)
     u, v = uv[:, 0], uv[:, 1]
-    ty0 = jnp.clip(jnp.floor((v - radius) / tile_size), 0, TH).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil((v + radius) / tile_size), 0, TH).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((v - ry) / tile_size), 0, TH).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((v + ry) / tile_size), 0, TH).astype(jnp.int32)
     span_y = jnp.maximum(ty1 - ty0, 0)
     if spherical_wrap:
-        tx0 = jnp.floor((u - radius) / tile_size).astype(jnp.int32)
-        tx1 = jnp.ceil((u + radius) / tile_size).astype(jnp.int32)
+        tx0 = jnp.floor((u - rx) / tile_size).astype(jnp.int32)
+        tx1 = jnp.ceil((u + rx) / tile_size).astype(jnp.int32)
         span_x = jnp.minimum(tx1 - tx0, TW)
         tx0 = jnp.mod(tx0, TW)
     else:
-        tx0 = jnp.clip(jnp.floor((u - radius) / tile_size), 0, TW).astype(jnp.int32)
-        tx1 = jnp.clip(jnp.ceil((u + radius) / tile_size), 0, TW).astype(jnp.int32)
+        tx0 = jnp.clip(jnp.floor((u - rx) / tile_size), 0, TW).astype(jnp.int32)
+        tx1 = jnp.clip(jnp.ceil((u + rx) / tile_size), 0, TW).astype(jnp.int32)
         span_x = jnp.maximum(tx1 - tx0, 0)
     span_x = jnp.where(valid, span_x, 0)
     span_y = jnp.where(valid, span_y, 0)
@@ -176,17 +179,20 @@ def build_intersections(
     rank_src = (order.astype(jnp.int32) + cam_offset).reshape(-1)  # [M0]
 
     # 2. tile spans + per-gaussian meta table (single row gather later).
+    con0 = proj.conics.reshape(M0, 3)
+    rx0, ry0 = conic_ellipse_radii(con0[:, 0], con0[:, 1], con0[:, 2])
     geo = jnp.concatenate(
         [
             proj.means2d.reshape(M0, 2),
-            proj.radii.reshape(M0, 1),
+            rx0.reshape(M0, 1),
+            ry0.reshape(M0, 1),
             proj.valid.reshape(M0, 1).astype(jnp.float32),
         ],
         axis=1,
-    )[rank_src]  # [M0, 4] in depth order
-    uv, radius, valid = geo[:, 0:2], geo[:, 2], geo[:, 3] > 0.5
+    )[rank_src]  # [M0, 5] in depth order
+    uv, rx, ry, valid = geo[:, 0:2], geo[:, 2], geo[:, 3], geo[:, 4] > 0.5
     tx0, ty0, span_x, span_y = tile_spans(
-        uv, radius, valid, width, height, tile_size,
+        uv, rx, ry, valid, width, height, tile_size,
         spherical_wrap=(camera_model == "spherical"),
     )
     counts = (span_x * span_y).astype(jnp.int32)  # [M0]

@@ -27,6 +27,23 @@ from splat_one_tpu.core.transforms import quat_to_rotmat
 EPS2D = 0.3  # standard 3DGS screen-space low-pass filter
 
 
+def conic_ellipse_radii(a: jax.Array, b: jax.Array, c: jax.Array):
+    """Axis-aligned half-extents (rx, ry) of the 3-sigma ellipse level set,
+    from CONIC entries (a, b, c) = inverse 2D covariance.
+
+    cov = inv([[a, b], [b, c]]) => cov_xx = c/det, cov_yy = a/det with
+    det = a*c - b^2; the 3-sigma set {q <= 4.5} has extent 3*sqrt(cov_xx)
+    in x. This is the ONE membership-radius definition shared by the
+    supertile-stream builder, the stream kernels' per-tile test, the gen-1
+    tile-list builder and the oracle compositor — all must make identical
+    in/out decisions on the same conic floats, so they all call this."""
+    det = jnp.maximum(a * c - b * b, 1e-30)
+    inv = 1.0 / det
+    rx = 3.0 * jnp.sqrt(jnp.maximum(c * inv, 0.0))
+    ry = 3.0 * jnp.sqrt(jnp.maximum(a * inv, 0.0))
+    return rx, ry
+
+
 class Projected(NamedTuple):
     """Per-(camera, gaussian) screen-space quantities. Leading dims [C, N]."""
 
@@ -190,14 +207,18 @@ def project_gaussians(
 
         ok = (depth > near_plane) & (depth < far_plane) & (det > 0)
         ok &= radius > radius_clip
-        # Cull gaussians whose bbox misses the image entirely (spherical wraps
-        # in azimuth, so only cull on v there).
+        # Cull gaussians whose ellipse bbox misses the image entirely
+        # (tighter than the circumscribed circle; spherical wraps in
+        # azimuth, so only cull on v there). rx/ry here are the cov-diagonal
+        # form of conic_ellipse_radii — same 3-sigma extents.
+        rx = 3.0 * jnp.sqrt(jnp.maximum(ca, 0.0))
+        ry = 3.0 * jnp.sqrt(jnp.maximum(cc, 0.0))
         u, v = uv[:, 0], uv[:, 1]
-        inside_v = (v + radius > 0) & (v - radius < height)
+        inside_v = (v + ry > 0) & (v - ry < height)
         if camera_model == "spherical":
             ok &= inside_v
         else:
-            ok &= inside_v & (u + radius > 0) & (u - radius < width)
+            ok &= inside_v & (u + rx > 0) & (u - rx < width)
         if alive is not None:
             ok &= alive
 

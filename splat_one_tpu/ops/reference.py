@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from splat_one_tpu.ops.projection import Projected
+from splat_one_tpu.ops.projection import Projected, conic_ellipse_radii
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.999
@@ -96,21 +96,23 @@ def composite_reference(
             alpha = jnp.where(sigma < 0, 0.0, alpha)
             alpha = jnp.minimum(alpha, ALPHA_MAX)
             alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
-            # tile-bbox truncation (matches intersect.tile_spans)
+            # tile-bbox truncation: per-axis 3-sigma ellipse extents,
+            # identical float math to the tile/supertile list builders and
+            # the stream kernels (projection.conic_ellipse_radii)
             u, v = xy_c[:, 0:1], xy_c[:, 1:2]
-            r = rad_c[:, None]
-            ty0 = jnp.clip(jnp.floor((v - r) / tile_size), 0, TH)
-            ty1 = jnp.clip(jnp.ceil((v + r) / tile_size), 0, TH)
+            rx, ry = conic_ellipse_radii(a, b, c)
+            ty0 = jnp.clip(jnp.floor((v - ry) / tile_size), 0, TH)
+            ty1 = jnp.clip(jnp.ceil((v + ry) / tile_size), 0, TH)
             in_y = (pty[None, :] >= ty0) & (pty[None, :] < ty1)
             if wrap_x:
-                tx0 = jnp.floor((u - r) / tile_size)
-                tx1 = jnp.ceil((u + r) / tile_size)
+                tx0 = jnp.floor((u - rx) / tile_size)
+                tx1 = jnp.ceil((u + rx) / tile_size)
                 span = jnp.minimum(tx1 - tx0, TW)
                 rel = jnp.mod(ptx[None, :] - tx0.astype(jnp.int32), TW)
                 in_x = rel < span
             else:
-                tx0 = jnp.clip(jnp.floor((u - r) / tile_size), 0, TW)
-                tx1 = jnp.clip(jnp.ceil((u + r) / tile_size), 0, TW)
+                tx0 = jnp.clip(jnp.floor((u - rx) / tile_size), 0, TW)
+                tx1 = jnp.clip(jnp.ceil((u + rx) / tile_size), 0, TW)
                 in_x = (ptx[None, :] >= tx0) & (ptx[None, :] < tx1)
             alpha = jnp.where(in_x & in_y, alpha, 0.0)
             logt = jnp.log1p(-alpha)

@@ -256,21 +256,29 @@ def build_stream_intersections(
     sps = tile_size * caps.ss  # supertile pixel size
 
     # 1. supertile bbox spans (original [C, N] order — no depth pre-sort).
+    # Membership uses the per-axis 3-sigma ELLIPSE extents (rx, ry) — a
+    # strict subset of the circumscribed-circle bbox, ~25-40% fewer rows
+    # through every rate-bound glue stage for anisotropic gaussians. The
+    # kernels' per-tile test and the oracle share the same expression
+    # (projection.conic_ellipse_radii) on the same conic floats.
+    from splat_one_tpu.ops.projection import conic_ellipse_radii
+
     u = proj.means2d[..., 0].reshape(M0)
     v = proj.means2d[..., 1].reshape(M0)
-    radius = proj.radii.reshape(M0)
+    con = proj.conics.reshape(M0, 3)
+    rx, ry = conic_ellipse_radii(con[:, 0], con[:, 1], con[:, 2])
     valid = proj.valid.reshape(M0)
-    sy0 = jnp.clip(jnp.floor((v - radius) / sps), 0, sh).astype(jnp.int32)
-    sy1 = jnp.clip(jnp.ceil((v + radius) / sps), 0, sh).astype(jnp.int32)
+    sy0 = jnp.clip(jnp.floor((v - ry) / sps), 0, sh).astype(jnp.int32)
+    sy1 = jnp.clip(jnp.ceil((v + ry) / sps), 0, sh).astype(jnp.int32)
     span_y = jnp.maximum(sy1 - sy0, 0)
     if camera_model == "spherical":
-        sx0 = jnp.floor((u - radius) / sps).astype(jnp.int32)
-        sx1 = jnp.ceil((u + radius) / sps).astype(jnp.int32)
+        sx0 = jnp.floor((u - rx) / sps).astype(jnp.int32)
+        sx1 = jnp.ceil((u + rx) / sps).astype(jnp.int32)
         span_x = jnp.minimum(sx1 - sx0, sw)
         sx0 = jnp.mod(sx0, sw)
     else:
-        sx0 = jnp.clip(jnp.floor((u - radius) / sps), 0, sw).astype(jnp.int32)
-        sx1 = jnp.clip(jnp.ceil((u + radius) / sps), 0, sw).astype(jnp.int32)
+        sx0 = jnp.clip(jnp.floor((u - rx) / sps), 0, sw).astype(jnp.int32)
+        sx1 = jnp.clip(jnp.ceil((u + rx) / sps), 0, sw).astype(jnp.int32)
         span_x = jnp.maximum(sx1 - sx0, 0)
     span_x = jnp.where(valid, span_x, 0)
     span_y = jnp.where(valid, span_y, 0)

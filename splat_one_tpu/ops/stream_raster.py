@@ -210,28 +210,35 @@ def _mm_split(a, b, dims):
 
 def _chunk_bbox(cfg: StreamCfg, chunk, tx, ty, rowmask):
     """Cheap per-slot [G, 1] tile-membership mask for one chunk against one
-    tile: per-TILE bbox (3-sigma radius, identical float math to the
-    per-tile-list builder) AND ``rowmask`` (slots outside the supertile's
-    stream range from 128-aligned chunk-base over-read). Gates the heavy
-    per-pixel work: a tile most chunks' slots miss is skipped entirely."""
+    tile: per-TILE 3-sigma ELLIPSE bbox (conic_ellipse_radii on the chunk's
+    own conic columns — identical float math to the supertile-list builder
+    and the oracle) AND ``rowmask`` (slots outside the supertile's stream
+    range from 128-aligned chunk-base over-read). Gates the heavy per-pixel
+    work: a tile most chunks' slots miss is skipped entirely."""
+    from splat_one_tpu.ops.projection import conic_ellipse_radii
+
     G = cfg.chunk
     ts = float(cfg.tile_size)
     x = chunk[si.COL_X, :].reshape(G, 1)
     y = chunk[si.COL_Y, :].reshape(G, 1)
-    rad = chunk[si.COL_RADIUS, :].reshape(G, 1)
+    rx, ry = conic_ellipse_radii(
+        chunk[si.COL_CA, :].reshape(G, 1),
+        chunk[si.COL_CB, :].reshape(G, 1),
+        chunk[si.COL_CC, :].reshape(G, 1),
+    )
     txf = tx.astype(jnp.float32) if hasattr(tx, "astype") else float(tx)
     tyf = ty.astype(jnp.float32) if hasattr(ty, "astype") else float(ty)
-    in_y = (tyf >= jnp.floor((y - rad) / ts)) & (
-        tyf < jnp.ceil((y + rad) / ts)
+    in_y = (tyf >= jnp.floor((y - ry) / ts)) & (
+        tyf < jnp.ceil((y + ry) / ts)
     )
     if cfg.wrap_x:
         tw = float(cfg.tw)
-        tx0 = jnp.floor((x - rad) / ts)
-        span = jnp.minimum(jnp.ceil((x + rad) / ts) - tx0, tw)
+        tx0 = jnp.floor((x - rx) / ts)
+        span = jnp.minimum(jnp.ceil((x + rx) / ts) - tx0, tw)
         in_x = jnp.mod(txf - tx0, tw) < span
     else:
-        in_x = (txf >= jnp.floor((x - rad) / ts)) & (
-            txf < jnp.ceil((x + rad) / ts)
+        in_x = (txf >= jnp.floor((x - rx) / ts)) & (
+            txf < jnp.ceil((x + rx) / ts)
         )
     return rowmask & in_x & in_y
 

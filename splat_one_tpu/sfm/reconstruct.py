@@ -481,17 +481,21 @@ def incremental_reconstruct(
                 del points[tid]
         return n_re
 
-    if cfg.final_anneal:
+    if cfg.final_anneal and len(cfg.anneal_schedule) > 0:
         # graduated non-convexity: relax the robust scale, re-admit all
         # geometrically consistent tracks, and tighten stage by stage.
-        # Outliers are only filtered at the final (1x) scale so closure
-        # constraints survive the warped intermediate states.
-        for mult in cfg.anneal_schedule:
+        # Outliers are only filtered at the final stage so closure
+        # constraints survive the warped intermediate states; a schedule
+        # that does not end at 1.0 gets an explicit final 1.0 stage.
+        schedule = list(cfg.anneal_schedule)
+        if schedule[-1] != 1.0:
+            schedule.append(1.0)
+        for si_, mult in enumerate(schedule):
             n_re = retriangulate(angle_mult=mult)
             run_bundle(
                 max_iters=cfg.final_bundle_max_iterations,
                 loss_scale_mult=mult,
-                filter_outliers=(mult == cfg.anneal_schedule[-1]),
+                filter_outliers=(si_ == len(schedule) - 1),
             )
             report["steps"].append(
                 {"retriangulated": n_re, "anneal_mult": mult}

@@ -32,3 +32,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cache_growth():
+    """Serial `pytest tests/` accumulates ~100+ Pallas-interpret executables
+    in one process and eventually segfaults inside XLA compile (seen at
+    test_stream_raster in rounds 1-2). Dropping compiled executables and
+    collecting garbage at each module boundary bounds that growth."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

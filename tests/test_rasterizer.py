@@ -48,10 +48,11 @@ class TestIntersect:
         """One gaussian with a known bbox must land in exactly its tiles."""
         from splat_one_tpu.ops.projection import Projected
 
-        # gaussian at pixel (24, 24) with radius 10 -> tiles (0..2, 0..2)
+        # gaussian at pixel (24, 24); conic 0.09*I -> ellipse half-extents
+        # rx = ry = 3/sqrt(0.09) = 10 -> tiles (0..2, 0..2)
         proj = Projected(
             means2d=jnp.array([[[24.0, 24.0]]]),
-            conics=jnp.array([[[1.0, 0.0, 1.0]]]),
+            conics=jnp.array([[[0.09, 0.0, 0.09]]]),
             depths=jnp.array([[1.0]]),
             radii=jnp.array([[10.0]]),
             colors=jnp.ones((1, 1, 3)),
@@ -103,8 +104,14 @@ class TestIntersect:
         slot_src = np.append(np.asarray(isect.rank_src), 100)[
             np.asarray(isect.slot_rank)
         ]
+        from splat_one_tpu.ops.projection import conic_ellipse_radii
+
         uv = np.asarray(proj.means2d)[0]
-        radii = np.asarray(proj.radii)[0]
+        con = np.asarray(proj.conics)[0]
+        rx_a, ry_a = conic_ellipse_radii(
+            jnp.asarray(con[:, 0]), jnp.asarray(con[:, 1]),
+            jnp.asarray(con[:, 2]))
+        rx_a, ry_a = np.asarray(rx_a), np.asarray(ry_a)
         valid = np.asarray(proj.valid)[0]
         TW = W // TS
         for t in range(len(starts) - 1):
@@ -118,11 +125,11 @@ class TestIntersect:
                 if not valid[g]:
                     continue
                 u, v = uv[g]
-                r = radii[g]
-                gx0 = np.clip(np.floor((u - r) / TS), 0, TW) * TS
-                gx1 = np.clip(np.ceil((u + r) / TS), 0, TW) * TS
-                gy0 = np.clip(np.floor((v - r) / TS), 0, TW) * TS
-                gy1 = np.clip(np.ceil((v + r) / TS), 0, TW) * TS
+                rx, ry = rx_a[g], ry_a[g]
+                gx0 = np.clip(np.floor((u - rx) / TS), 0, TW) * TS
+                gx1 = np.clip(np.ceil((u + rx) / TS), 0, TW) * TS
+                gy0 = np.clip(np.floor((v - ry) / TS), 0, TW) * TS
+                gy1 = np.clip(np.ceil((v + ry) / TS), 0, TW) * TS
                 if gx0 < x1 and gx1 > x0 and gy0 < y1 and gy1 > y0:
                     expect.add(g)
             assert got == expect, f"tile {t}: {got ^ expect}"

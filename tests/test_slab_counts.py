@@ -18,15 +18,29 @@ def _proj_from_boxes(ctrs, rads, depths, C, N, W, H, valid=None):
     z = np.zeros((C, N), np.float32)
     if valid is None:
         valid = np.ones((C, N), bool)
+    # membership radii now derive from the conic (3-sigma ellipse): an
+    # isotropic conic a = c = (3/r)^2, b = 0 gives rx = ry = r exactly
+    a = (3.0 / np.maximum(rads.reshape(C, N), 1e-6)) ** 2
+    conics = np.stack([a, np.zeros_like(a), a], axis=-1).astype(np.float32)
     return Projected(
         means2d=jnp.asarray(ctrs.reshape(C, N, 2)),
-        conics=jnp.asarray(np.zeros((C, N, 3), np.float32)),
+        conics=jnp.asarray(conics),
         depths=jnp.asarray(depths.reshape(C, N)),
         radii=jnp.asarray(rads.reshape(C, N)),
         opacities=jnp.asarray(z),
         colors=jnp.asarray(np.zeros((C, N, 3), np.float32)),
         valid=jnp.asarray(valid.reshape(C, N)),
     )
+
+
+def _effective_radii(conics):
+    """The exact f32 radii the builder derives from the conic."""
+    from splat_one_tpu.ops.projection import conic_ellipse_radii
+
+    rx, ry = conic_ellipse_radii(
+        jnp.asarray(conics[..., 0]), jnp.asarray(conics[..., 1]),
+        jnp.asarray(conics[..., 2]))
+    return np.asarray(rx), np.asarray(ry)
 
 
 def _brute_cells(u, v, rad, sw, sh, sps, spherical):
@@ -62,6 +76,8 @@ def test_slab_enumeration_matches_bruteforce(spherical):
         depths = rng.uniform(1, 9, (C, N)).astype(np.float32)
         valid = rng.uniform(size=(C, N)) > 0.1
         proj = _proj_from_boxes(ctrs, rads, depths, C, N, W, H, valid)
+        rx_eff, _ = _effective_radii(np.asarray(proj.conics))
+        rads = rx_eff.reshape(C, N)
         # random slab
         cs_global = C * NS
         cs_local = int(rng.integers(1, cs_global + 1))
