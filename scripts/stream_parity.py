@@ -96,7 +96,16 @@ def main():
     # This is bounded-absolute noise of the same order as gsplat's CUDA
     # atomic-ordering nondeterminism; exact-f32 interpret-mode tests
     # remain the correctness oracle (tests/test_stream_raster.py).
-    bar = 1e-3 if jax.default_backend() != "cpu" else 5e-4
+    # TPU grad bar 1e-2: the packed-payload reduce path rounds per-slot
+    # grads to bf16 (rel ~2^-9) before the per-gaussian sum (see
+    # stream_raster._pack2); SPLAT_GRAD_PACK=0 restores the ~1e-3 f32 path.
+    import os
+    if jax.default_backend() == "cpu":
+        bar = 5e-4
+    elif os.environ.get("SPLAT_GRAD_PACK", "1") == "1":
+        bar = 1e-2
+    else:
+        bar = 1e-3
     ok = True
     for n, x, y in zip(names, g1, g2):
         d, r = rel(y, x)

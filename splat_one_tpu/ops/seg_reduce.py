@@ -64,14 +64,15 @@ def _split(x, n=NSPLIT):
     return parts
 
 
-def _kernel(nrows: int, nrp: int, bounds_ref, rows_ref, out_ref, buf, sems,
-            acc):
+def _kernel(nrows: int, nrp: int, unpack: bool, bounds_ref, rows_ref,
+            out_ref, buf, sems, acc):
     k = pl.program_id(0)
     b0 = bounds_ref[k]
     b1 = bounds_ref[k + 1]
     base = pl.multiple_of((b0 // CH) * CH, CH)
     nchunks = pl.cdiv(b1 - base, CH)
-    acc[...] = jnp.zeros((R, nrows), jnp.float32)
+    n_out = 2 * nrows if unpack else nrows
+    acc[...] = jnp.zeros((R, n_out), jnp.float32)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
@@ -97,6 +98,20 @@ def _kernel(nrows: int, nrp: int, bounds_ref, rows_ref, out_ref, buf, sems,
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, CH), 0)
         oh = (local == rows_i).astype(jnp.bfloat16)  # [R, CH], exact
         g = chunk[:nrows, :]
+        if unpack:
+            # rows are bf16x2-packed u32 words (hi = GCOL 2i, lo = 2i+1):
+            # unpack to f32 — both halves are exactly bf16-representable,
+            # so ONE bf16 matmul pass is exact (vs NSPLIT passes for f32)
+            u = jax.lax.bitcast_convert_type(g, jnp.uint32)
+            hi = jax.lax.bitcast_convert_type(
+                u & jnp.uint32(0xFFFF0000), jnp.float32)
+            lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+            g2 = jnp.concatenate([hi, lo], axis=0)  # [2*nrows, CH]
+            acc[...] += jax.lax.dot_general(
+                oh, g2.astype(jnp.bfloat16), ((((1,), (1,))), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
         for part in _split(g):
             # accT[R, nr] += oh[R, CH] . part[nr, CH]^T — one-hot on the
             # LEFT so the MXU M dim is R (see module docstring)
@@ -111,30 +126,33 @@ def _kernel(nrows: int, nrp: int, bounds_ref, rows_ref, out_ref, buf, sems,
 
 
 def segment_reduce_sorted(rows: jax.Array, bounds: jax.Array,
-                          num_out: int) -> jax.Array:
+                          num_out: int, unpack: bool = False) -> jax.Array:
     """Reduce key-sorted ``rows [NR+1, cap]`` (last row = key = gid+1 f32)
     to ``[NR, num_out_padded]`` per-gaussian sums. ``bounds [NB+1]`` are the
     slot ranges per R-gaussian block. ``num_out`` gaussians are covered by
-    ``NB = ceil(num_out / R)`` blocks; caller slices ``[:, :num_out]``."""
+    ``NB = ceil(num_out / R)`` blocks; caller slices ``[:, :num_out]``.
+    With ``unpack``, each input row holds bf16x2-packed pairs and the
+    output has ``2*NR`` rows ordered (hi0..hi_{NR-1}, lo0..lo_{NR-1})."""
     nr = rows.shape[0] - 1
     nrp = -(-(nr + 1) // 8) * 8  # sublane-aligned row count for chunk DMAs
     rows = jnp.pad(rows, ((0, nrp - nr - 1), (0, 0)))
     nb = -(-num_out // R)
-    kernel = functools.partial(_kernel, nr, nrp)
+    n_out = 2 * nr if unpack else nr
+    kernel = functools.partial(_kernel, nr, nrp, unpack)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((nr, R), lambda k, b: (0, k),
+            out_specs=pl.BlockSpec((n_out, R), lambda k, b: (0, k),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((NBUF, nrp, CH), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
-                pltpu.VMEM((R, nr), jnp.float32),
+                pltpu.VMEM((R, n_out), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nr, nb * R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, nb * R), jnp.float32),
         interpret=_use_interpret(),
     )(bounds, rows)

@@ -79,6 +79,17 @@ GCOL_ABSDY = 11
 GCOL_KEY = 12  # written by the bwd kernel: gid + 1 (f32), 0 = dead row
 N_GCOLS = 12  # payload rows fed through the reduce-by-key sort
 
+# Packed backward layout (the TPU hot path): consecutive GCOL pairs
+# (2i, 2i+1) ride as two bf16 halves of one f32-bitcast u32 word, halving
+# the reduce-by-key sort payload count — the sort is payload-COUNT bound
+# (~2.3 ms per payload row at 3.2M slots, measured r3) so this is the
+# single biggest reduce win. Per-slot grads round to bf16 (rel ~2^-9)
+# BEFORE the per-gaussian sum; the compositing itself stays f32. CPU
+# interpret mode keeps the unpacked f32 layout for exact-parity tests
+# (same backend split as stream_raster._mm_split).
+N_PAIRS = 6  # = N_GCOLS // 2; pair 5 = (ABSDX, ABSDY), droppable
+PCOL_KEY = 6  # key row index in the packed layout
+
 
 @dataclasses.dataclass(frozen=True)
 class StreamCaps:
@@ -425,22 +436,32 @@ def reduce_stream_grads(
     pgrads: jax.Array,  # [NF, pad_cap] per-slot grads (kernel-native)
     num_flat: int,  # M0
     n_payload: int = N_GCOLS,  # leading grad rows to reduce (10 w/o absgrad)
+    packed: bool = False,  # pgrads rows are bf16x2-packed GCOL pairs
 ) -> jax.Array:
     """Per-slot -> per-gaussian gradient reduction, gather-free.
 
-    The backward kernel writes ``GCOL_KEY = gid + 1`` (f32) into every grad
-    row it produces; unwritten rows (alignment padding, early-terminated
-    chunks, dropped streams) stay zero and sort to the front. One stable
-    single-key sort brings each gaussian's rows together (payload columns
-    ride ~free, measured), then a Pallas one-hot matmul reduces each block
-    of R gaussians (ops.seg_reduce). Output ``[n_payload, M0]`` in ORIGINAL
-    (camera-major) order. The sort is the dominant cost (~2.4 ms per payload
-    row at 3.2M slots, measured), so callers drop rows they don't need
-    (``n_payload=10`` skips ABSDX/ABSDY when absgrad isn't requested)."""
+    The backward kernel writes ``gid + 1`` (f32) into every grad row it
+    produces (at ``PCOL_KEY`` when packed, ``GCOL_KEY`` otherwise);
+    unwritten rows (alignment padding, early-terminated chunks, dropped
+    streams) stay zero and sort to the front. One single-key sort brings
+    each gaussian's rows together, then a Pallas one-hot matmul reduces
+    each block of R gaussians (ops.seg_reduce). Output ``[n_payload, M0]``
+    in ORIGINAL (camera-major) order and GCOL row order (the packed path
+    unpacks inside the kernel). The sort is payload-COUNT bound (~2.3 ms
+    per payload row at 3.2M slots, measured), so callers drop rows they
+    don't need (``n_payload=10`` skips ABSDX/ABSDY when absgrad isn't
+    requested) and the TPU path rides the packed layout (half the rows)."""
     from splat_one_tpu.ops import seg_reduce
 
+    if packed:
+        assert n_payload % 2 == 0
+        n_rows = n_payload // 2
+        key_row = PCOL_KEY
+    else:
+        n_rows = n_payload
+        key_row = GCOL_KEY
     parts = jax.lax.sort(
-        [pgrads[GCOL_KEY]] + [pgrads[i] for i in range(n_payload)],
+        [pgrads[key_row]] + [pgrads[i] for i in range(n_rows)],
         is_stable=False, num_keys=1,
     )
     rows = jnp.stack(list(parts[1:]) + [parts[0]], axis=0)
@@ -450,5 +471,12 @@ def reduce_stream_grads(
                ).astype(jnp.float32) + 1.0
     bounds = jnp.searchsorted(parts[0], queries, side="left").astype(
         jnp.int32)
-    out = seg_reduce.segment_reduce_sorted(rows, bounds, num_flat)
+    out = seg_reduce.segment_reduce_sorted(rows, bounds, num_flat,
+                                           unpack=packed)
+    if packed:
+        # kernel output row order is (hi0..hi_{p-1}, lo0..lo_{p-1}) with
+        # pair i = (GCOL 2i, GCOL 2i+1); GCOL c therefore lives at kernel
+        # row (c // 2) + (c % 2) * n_pairs — permute back to GCOL order
+        inv = [(c // 2) + (c % 2) * n_rows for c in range(n_payload)]
+        out = out[jnp.asarray(inv, dtype=jnp.int32)]
     return out[:, :num_flat]

@@ -56,6 +56,15 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _use_packed_grads() -> bool:
+    """bf16x2-packed backward payload rows (TPU only; see _pack2). Env
+    SPLAT_GRAD_PACK=0 restores exact-f32 payloads for diagnosis."""
+    import os
+
+    return (not _use_interpret()) and os.environ.get(
+        "SPLAT_GRAD_PACK", "1") == "1"
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamCfg:
     """Static stream-rasterizer configuration (hashable kernel-cache key)."""
@@ -274,6 +283,19 @@ def _chunk_q(cfg: StreamCfg, chunk, px, py, live):
 
 def _row_iota(G):
     return jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+
+
+def _pack2(a, b):
+    """Pack two f32 rows as bf16 halves of one f32-bitcast u32 word (hi =
+    a, lo = b). Halves the grad rows moved through the reduce-by-key sort
+    (payload-count bound, ~2.3 ms/row at 3.2M slots); per-slot grads round
+    to bf16 before the per-gaussian sum (rel ~2^-9 — far below the train
+    loop's per-step view-sampling noise). seg_reduce unpacks exactly."""
+    au = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32)
+    bu = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32)
+    return jax.lax.bitcast_convert_type(au | (bu >> 16), jnp.float32)
 
 
 def _stream_fwd_kernel(cfg: StreamCfg, starts_ref, off_ref, packed_ref,
@@ -519,7 +541,20 @@ def _stream_bwd_kernel(cfg: StreamCfg, starts_ref, al_ref, off_ref,
                 )
                 gPst[j] = gPst[j] + jnp.sum(wcg, axis=0, keepdims=True)
                 cgst[0] = cgst[0] + grad_rows
-        wbuf[slot] = cgst[0]
+        if not _use_packed_grads():
+            wbuf[slot] = cgst[0]
+        else:
+            # TPU hot path: pack GCOL pairs bf16x2 AFTER the cross-tile sum
+            # (see _pack2); key moves to si.PCOL_KEY. seg_reduce unpacks.
+            rows = cgst[0]
+            wbuf[slot] = jnp.concatenate(
+                [_pack2(rows[2 * i:2 * i + 1, :],
+                        rows[2 * i + 1:2 * i + 2, :])
+                 for i in range(si.N_PAIRS)]
+                + [rows[si.GCOL_KEY:si.GCOL_KEY + 1, :]]
+                + [jnp.zeros((NF - si.PCOL_KEY - 1, G), jnp.float32)],
+                axis=0,
+            )
         put_dma(slot, k).start()
         return 0
 
@@ -648,7 +683,8 @@ def _make_composite_fn(cfg: StreamCfg):
         pgrads = _bwd_call(cfg, isect.st_starts, isect.st_starts_al, packed,
                            fwd_out, gout, tile_offset)
         n_payload = si.N_GCOLS if cfg.absgrad else si.GCOL_ABSDX
-        seg = si.reduce_stream_grads(pgrads, M0, n_payload)
+        seg = si.reduce_stream_grads(pgrads, M0, n_payload,
+                                     packed=_use_packed_grads())
         g = lambda c: seg[c]
         dmeans2d = jnp.stack([g(si.GCOL_DX), g(si.GCOL_DY)],
                              axis=-1).reshape(C, N, 2)
