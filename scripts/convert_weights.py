@@ -99,6 +99,7 @@ def convert_depth(ckpt_path: str, encoder: str, out: str):
     outp["patch_b"] = _t(sd["pretrained.patch_embed.proj.bias"])
     pos = _t(sd["pretrained.pos_embed"])  # [1, 1+n*n, C] (cls first)
     outp["pos"] = pos[:, 1:]
+    outp["pos_cls"] = pos[:, :1]  # cls token keeps its own pos embed
     outp["cls_token"] = _t(sd["pretrained.cls_token"])
     d = 0
     while f"pretrained.blocks.{d}.norm1.weight" in sd:

@@ -95,6 +95,200 @@ def depth_forward(params: Dict, image: jax.Array) -> jax.Array:
     return jax.nn.relu(_linear(params, "head_2", h))[..., 0]
 
 
+# ---------------------------------------------------------------------------
+# checkpoint-faithful forward (Depth-Anything-V2: DINOv2 backbone + DPT head)
+# ---------------------------------------------------------------------------
+# The trainable path above (depth_forward) is a simplified head for
+# from-scratch training/tests. This path reproduces the published DA-V2
+# numerics exactly from a checkpoint converted by scripts/convert_weights.py
+# (schema documented there): DINOv2 plain ViT with cls token, fused qkv,
+# LayerScale and exact GELU; DPT head with resize layers, scratch rn convs,
+# residual-conv-unit fusion blocks and align_corners=True bilinear
+# upsampling. Verified against a torch mirror in
+# tests/test_weight_converters.py.
+
+# DA-V2 intermediate_layer_idx (depth_anything_v2/dpt.py upstream):
+# vits [2,5,8,11], vitb [2,5,8,11], vitl [4,11,17,23], vitg [9,19,29,39]
+# == {D//4-1, D//2-1, 3D//4-1, D-1} for all four sizes.
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
+
+
+def _ln_sb(p, prefix, x, eps=1e-6):
+    """LayerNorm with the converter's `{prefix}_scale/_bias` key names."""
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * p[f"{prefix}_scale"] + p[
+        f"{prefix}_bias"]
+
+
+def _dino_block(p, prefix, x, n_heads):
+    """DINOv2 ViT block: pre-LN, fused qkv, LayerScale, exact GELU."""
+    B, N, C = x.shape
+    h = _ln_sb(p, f"{prefix}_ln1", x)
+    qkv = h @ p[f"{prefix}_qkv_w"] + p[f"{prefix}_qkv_b"]  # [B, N, 3C]
+    q = qkv[..., :C].reshape(B, N, n_heads, -1)
+    k = qkv[..., C:2 * C].reshape(B, N, n_heads, -1)
+    v = qkv[..., 2 * C:].reshape(B, N, n_heads, -1)
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(C // n_heads)
+    att = jax.nn.softmax(att, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, N, C)
+    o = o @ p[f"{prefix}_attn_out_w"] + p[f"{prefix}_attn_out_b"]
+    if f"{prefix}_ls1" in p:
+        o = o * p[f"{prefix}_ls1"]
+    x = x + o
+    h = _ln_sb(p, f"{prefix}_ln2", x)
+    h = _gelu_exact(h @ p[f"{prefix}_mlp1_w"] + p[f"{prefix}_mlp1_b"])
+    h = h @ p[f"{prefix}_mlp2_w"] + p[f"{prefix}_mlp2_b"]
+    if f"{prefix}_ls2" in p:
+        h = h * p[f"{prefix}_ls2"]
+    return x + h
+
+
+def _conv2d_t(x, w_oihw, b=None, stride=1, pad=None):
+    """torch-semantics conv: x NHWC, weight OIHW, explicit torch padding."""
+    kh, kw = w_oihw.shape[2], w_oihw.shape[3]
+    if pad is None:
+        pad = (kh // 2, kw // 2)
+    y = jax.lax.conv_general_dilated(
+        x, jnp.transpose(w_oihw, (2, 3, 1, 0)),
+        window_strides=(stride, stride),
+        padding=((pad[0], pad[0]), (pad[1], pad[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b if b is not None else y
+
+
+def _conv_transpose_s(x, w, b, s):
+    """ConvTranspose2d with kernel == stride == s (pure pixel expansion).
+    x [B,h,w,ci], torch weight [ci, co, s, s]."""
+    y = jnp.einsum("bhwc,cdij->bhiwjd", x, w)
+    # einsum output dims: b, h, i(kh), w, j(kw), d(co)
+    B, hh, _, ww, _, co = y.shape
+    return y.reshape(B, hh * s, ww * s, co) + b
+
+
+def _resize_ac(x, out_h, out_w):
+    """Bilinear resize with torch align_corners=True semantics."""
+    B, H, W, C = x.shape
+    if H == out_h and W == out_w:
+        return x
+    ys = jnp.linspace(0.0, H - 1.0, out_h) if out_h > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(0.0, W - 1.0, out_w) if out_w > 1 else jnp.zeros((1,))
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    fx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    r0 = jnp.take(x, y0, axis=1)
+    r1 = jnp.take(x, y1, axis=1)
+    g00 = jnp.take(r0, x0, axis=2)
+    g01 = jnp.take(r0, x1, axis=2)
+    g10 = jnp.take(r1, x0, axis=2)
+    g11 = jnp.take(r1, x1, axis=2)
+    top = g00 * (1 - fx) + g01 * fx
+    bot = g10 * (1 - fx) + g11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _res_conv_unit(p, prefix, x):
+    """DPT ResidualConvUnit: relu-conv-relu-conv + skip."""
+    h = jax.nn.relu(x)
+    h = _conv2d_t(h, p[f"{prefix}.conv1.weight"], p[f"{prefix}.conv1.bias"])
+    h = jax.nn.relu(h)
+    h = _conv2d_t(h, p[f"{prefix}.conv2.weight"], p[f"{prefix}.conv2.bias"])
+    return x + h
+
+
+def _fusion_block(p, prefix, x, res=None, out_hw=None):
+    """DPT FeatureFusionBlock: (+ rcu1(res)) -> rcu2 -> upsample -> 1x1."""
+    if res is not None:
+        x = x + _res_conv_unit(p, f"{prefix}.resConfUnit1", res)
+    x = _res_conv_unit(p, f"{prefix}.resConfUnit2", x)
+    if out_hw is None:
+        out_hw = (x.shape[1] * 2, x.shape[2] * 2)
+    x = _resize_ac(x, out_hw[0], out_hw[1])
+    return _conv2d_t(x, p[f"{prefix}.out_conv.weight"],
+                     p[f"{prefix}.out_conv.bias"], pad=(0, 0))
+
+
+def depth_forward_faithful(params: Dict, image: jax.Array) -> jax.Array:
+    """Checkpoint-faithful DA-V2 forward.
+
+    image [B, H, W, 3], ImageNet-normalized, H/W multiples of 14 ->
+    relative inverse depth [B, H, W] (the reference's
+    ``DepthAnythingV2.forward``, app/tabs/depth_tab.py:173 surface)."""
+    enc = str(np.asarray(params["_encoder"]))
+    cfg = CONFIGS[enc]
+    C, D, n_heads = cfg["width"], cfg["depth"], cfg["heads"]
+    B, H, W, _ = image.shape
+    ph, pw = H // PATCH, W // PATCH
+    x = image.reshape(B, ph, PATCH, pw, PATCH, 3).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B, ph * pw, PATCH * PATCH * 3)
+    x = x @ params["patch_w"] + params["patch_b"]
+    pos = params["pos"]  # [1, n*n, C] (patch tokens)
+    n = int(np.sqrt(pos.shape[1]))
+    if (ph, pw) != (n, n):
+        pos = _resize_ac(pos.reshape(1, n, n, C), ph, pw).reshape(
+            1, ph * pw, C)
+    x = x + pos
+    cls_tok = params["cls_token"] + params.get(
+        "pos_cls", jnp.zeros_like(params["cls_token"]))
+    x = jnp.concatenate([jnp.broadcast_to(cls_tok, (B, 1, C)), x], axis=1)
+    taps = []
+    tap_at = {D // 4 - 1, D // 2 - 1, 3 * D // 4 - 1, D - 1}
+    for d in range(D):
+        x = _dino_block(params, f"b{d}", x, n_heads)
+        if d in tap_at:
+            # DINOv2 get_intermediate_layers(norm=True): final LN applies
+            # to every tapped layer; cls dropped (use_clstoken=False)
+            taps.append(_ln_sb(params, "ln_f", x)[:, 1:])
+    feats = []
+    for i, t in enumerate(taps):
+        f = (t @ params[f"tap{i}_w"] + params[f"tap{i}_b"]).reshape(
+            B, ph, pw, -1)
+        feats.append(f)
+    # resize layers: 4x / 2x transposed conv, identity, stride-2 conv
+    feats[0] = _conv_transpose_s(
+        feats[0], params["depth_head.resize_layers.0.weight"],
+        params["depth_head.resize_layers.0.bias"], 4)
+    feats[1] = _conv_transpose_s(
+        feats[1], params["depth_head.resize_layers.1.weight"],
+        params["depth_head.resize_layers.1.bias"], 2)
+    feats[3] = _conv2d_t(
+        feats[3], params["depth_head.resize_layers.3.weight"],
+        params["depth_head.resize_layers.3.bias"], stride=2)
+    rn = [
+        _conv2d_t(feats[i],
+                  params[f"depth_head.scratch.layer{i + 1}_rn.weight"])
+        for i in range(4)
+    ]
+    p4 = _fusion_block(params, "depth_head.scratch.refinenet4", rn[3],
+                       out_hw=rn[2].shape[1:3])
+    p3 = _fusion_block(params, "depth_head.scratch.refinenet3", p4, rn[2],
+                       out_hw=rn[1].shape[1:3])
+    p2 = _fusion_block(params, "depth_head.scratch.refinenet2", p3, rn[1],
+                       out_hw=rn[0].shape[1:3])
+    p1 = _fusion_block(params, "depth_head.scratch.refinenet1", p2, rn[0])
+    out = _conv2d_t(p1, params["depth_head.scratch.output_conv1.weight"],
+                    params["depth_head.scratch.output_conv1.bias"])
+    out = _resize_ac(out, ph * PATCH, pw * PATCH)
+    out = _conv2d_t(out, params["depth_head.scratch.output_conv2.0.weight"],
+                    params["depth_head.scratch.output_conv2.0.bias"])
+    out = jax.nn.relu(out)
+    out = _conv2d_t(out, params["depth_head.scratch.output_conv2.2.weight"],
+                    params["depth_head.scratch.output_conv2.2.bias"],
+                    pad=(0, 0))
+    return jax.nn.relu(out)[..., 0]
+
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
 class DepthAnythingTPU:
     """``infer_image`` surface of the reference's DepthAnythingV2."""
 
@@ -108,10 +302,19 @@ class DepthAnythingTPU:
             if os.path.exists(checkpoint):
                 z = np.load(checkpoint)
                 self.params.update(
-                    {k: jnp.asarray(z[k]) for k in z.files}
+                    {k: jnp.asarray(z[k]) for k in z.files
+                     if k != "_encoder"}
                 )
+                self.params["_encoder"] = encoder
                 self.has_weights = True
-        self._fwd = jax.jit(partial(depth_forward, self.params))
+        if self.has_weights and any(
+                k.startswith("depth_head.scratch.") for k in self.params):
+            # converted DA-V2 checkpoint: checkpoint-faithful forward
+            self._fwd = jax.jit(partial(depth_forward_faithful, self.params))
+            self._faithful = True
+        else:
+            self._fwd = jax.jit(partial(depth_forward, self.params))
+            self._faithful = False
 
     def infer_image(self, bgr: np.ndarray) -> np.ndarray:
         """bgr uint8 [H, W, 3] -> depth float32 [H, W] (relative).
@@ -127,6 +330,9 @@ class DepthAnythingTPU:
             (rgb * 255).astype(np.uint8)
         ).resize((IMG, IMG))
         arr = np.asarray(im).astype(np.float32) / 255.0
+        if self._faithful:
+            # DA-V2 preprocessing: ImageNet normalization
+            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
         out = np.asarray(self._fwd(jnp.asarray(arr[None]))[0])
         out = np.asarray(
             PILImage.fromarray(out.astype(np.float32), mode="F").resize(

@@ -179,6 +179,170 @@ def match_lightglue(
     return np.asarray(idx_b), np.asarray(ok)
 
 
+# ---------------------------------------------------------------------------
+# checkpoint-faithful forward (official cvg/LightGlue numerics)
+# ---------------------------------------------------------------------------
+# The path above is a LightGlue-STYLE matcher for from-scratch training.
+# This one consumes a converted official checkpoint verbatim (raw key names
+# from scripts/convert_weights.py convert_lightglue) and reproduces the
+# published forward: learnable-Fourier rotary encoding, SelfBlock with a
+# fused Wqkv whose output interleaves as (heads, head_dim, 3), CrossBlock
+# with shared qk projection and bidirectional softmax, concat-FFN with
+# LayerNorm, and the sigmoid-log-double-softmax assignment head. Verified
+# against a torch mirror in tests/test_weight_converters.py.
+
+
+def _lg_lin(sd, name, x):
+    w = sd[f"{name}.weight"]
+    b = sd.get(f"{name}.bias")
+    y = x @ w.T
+    return y + b if b is not None else y
+
+
+def _lg_ln(sd, name, x, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * sd[f"{name}.weight"] + sd[
+        f"{name}.bias"]
+
+
+def _lg_gelu(x):
+    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
+
+
+def _rotate_half(x):
+    x = x.reshape(x.shape[:-1] + (-1, 2))
+    x1, x2 = x[..., 0], x[..., 1]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape[:-2] + (-1,))
+
+
+def _lg_rotary_emb(sd, kpts, head_dim):
+    """LearnableFourierPositionalEncoding: (cos, sin) [B, 1, N, head_dim],
+    frequencies repeat-interleaved by 2."""
+    proj = kpts @ sd["posenc.Wr.weight"].T  # [B, N, head_dim // 2]
+    c = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]
+    s = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
+    return c, s
+
+
+def _lg_self_block(sd, p, x, emb, n_heads):
+    B, N, d = x.shape
+    hd = d // n_heads
+    qkv = _lg_lin(sd, f"{p}.Wqkv", x)  # [B, N, 3d]
+    # official unflatten(-1, (-1, head_dim, 3)).transpose(1, 2):
+    # unit u = h * (hd * 3) + i * 3 + j  (j in {q, k, v})
+    qkv = qkv.reshape(B, N, n_heads, hd, 3).transpose(0, 2, 1, 3, 4)
+    q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]  # [B, h, N, hd]
+    c, s = emb
+    q = q * c + _rotate_half(q) * s
+    k = k * c + _rotate_half(k) * s
+    att = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd)
+    att = jax.nn.softmax(att, axis=-1)
+    ctx = att @ v  # [B, h, N, hd]
+    msg = _lg_lin(sd, f"{p}.out_proj",
+                  ctx.transpose(0, 2, 1, 3).reshape(B, N, d))
+    h = jnp.concatenate([x, msg], axis=-1)
+    h = _lg_lin(sd, f"{p}.ffn.0", h)
+    h = _lg_ln(sd, f"{p}.ffn.1", h)
+    h = _lg_gelu(h)
+    return x + _lg_lin(sd, f"{p}.ffn.3", h)
+
+
+def _lg_cross_block(sd, p, x0, x1, n_heads):
+    B, _, d = x0.shape
+    hd = d // n_heads
+
+    def split(t):
+        return t.reshape(B, -1, n_heads, hd).transpose(0, 2, 1, 3)
+
+    qk0 = split(_lg_lin(sd, f"{p}.to_qk", x0))
+    qk1 = split(_lg_lin(sd, f"{p}.to_qk", x1))
+    v0 = split(_lg_lin(sd, f"{p}.to_v", x0))
+    v1 = split(_lg_lin(sd, f"{p}.to_v", x1))
+    scale = hd ** -0.5
+    qk0 = qk0 * scale ** 0.5
+    qk1 = qk1 * scale ** 0.5
+    sim = qk0 @ qk1.transpose(0, 1, 3, 2)  # [B, h, N0, N1]
+    m0 = jax.nn.softmax(sim, axis=-1) @ v1
+    m1 = jax.nn.softmax(
+        sim.transpose(0, 1, 3, 2), axis=-1) @ v0
+
+    def out(x, m):
+        msg = _lg_lin(sd, f"{p}.to_out",
+                      m.transpose(0, 2, 1, 3).reshape(B, -1, d))
+        h = jnp.concatenate([x, msg], axis=-1)
+        h = _lg_lin(sd, f"{p}.ffn.0", h)
+        h = _lg_ln(sd, f"{p}.ffn.1", h)
+        h = _lg_gelu(h)
+        return x + _lg_lin(sd, f"{p}.ffn.3", h)
+
+    return out(x0, m0), out(x1, m1)
+
+
+def _lg_assignment(sd, p, desc0, desc1):
+    """MatchAssignment + sigmoid_log_double_softmax -> [B, m+1, n+1]."""
+    m0 = _lg_lin(sd, f"{p}.final_proj", desc0)
+    m1 = _lg_lin(sd, f"{p}.final_proj", desc1)
+    d = m0.shape[-1]
+    m0 = m0 / d ** 0.25
+    m1 = m1 / d ** 0.25
+    sim = jnp.einsum("bmd,bnd->bmn", m0, m1)
+    z0 = _lg_lin(sd, f"{p}.matchability", desc0)  # [B, m, 1]
+    z1 = _lg_lin(sd, f"{p}.matchability", desc1)  # [B, n, 1]
+    ls = jax.nn.log_sigmoid
+    cert = ls(z0) + ls(z1).transpose(0, 2, 1)  # [B, m, n]
+    s0 = jax.nn.log_softmax(sim, axis=2)
+    s1 = jax.nn.log_softmax(sim, axis=1)
+    B, m, n = sim.shape
+    scores = jnp.full((B, m + 1, n + 1), 0.0, sim.dtype)
+    scores = scores.at[:, :m, :n].set(s0 + s1 + cert)
+    scores = scores.at[:, :m, n].set(ls(-z0)[..., 0])
+    scores = scores.at[:, m, :n].set(ls(-z1)[..., 0])
+    return scores
+
+
+def lightglue_forward_ckpt(sd: Dict, kpts0, kpts1, desc0, desc1,
+                           size0, size1, n_heads: int = 4):
+    """Official-LightGlue forward from a converted checkpoint.
+
+    kpts [m, 2] pixel coords, desc [m, D]; size (W, H). Returns the final
+    log-assignment matrix [m+1, n+1] (reference surface: LightGlue inside
+    OpenSfM matching, app/feature_matching.py:96)."""
+    def norm_kpts(k, size):
+        size = jnp.asarray(size, jnp.float32)
+        shift = size / 2.0
+        scale = jnp.max(size) / 2.0
+        return (k - shift) / scale
+
+    k0 = norm_kpts(jnp.asarray(kpts0, jnp.float32), size0)[None]
+    k1 = norm_kpts(jnp.asarray(kpts1, jnp.float32), size1)[None]
+    x0 = _lg_lin(sd, "input_proj", jnp.asarray(desc0)[None])
+    x1 = _lg_lin(sd, "input_proj", jnp.asarray(desc1)[None])
+    d = x0.shape[-1]
+    emb0 = _lg_rotary_emb(sd, k0, d // n_heads)
+    emb1 = _lg_rotary_emb(sd, k1, d // n_heads)
+    i = 0
+    while f"transformers.{i}.self_attn.Wqkv.weight" in sd:
+        p = f"transformers.{i}"
+        x0 = _lg_self_block(sd, f"{p}.self_attn", x0, emb0, n_heads)
+        x1 = _lg_self_block(sd, f"{p}.self_attn", x1, emb1, n_heads)
+        x0, x1 = _lg_cross_block(sd, f"{p}.cross_attn", x0, x1, n_heads)
+        i += 1
+    return _lg_assignment(sd, f"log_assignment.{i - 1}", x0, x1)[0]
+
+
+def filter_matches_ckpt(scores, threshold: float = 0.1):
+    """Official filter_matches on a log-assignment matrix [m+1, n+1]:
+    mutual argmax over the non-dustbin block, exp(max) > threshold."""
+    inner = scores[:-1, :-1]
+    m0 = jnp.argmax(inner, axis=1)
+    m1 = jnp.argmax(inner, axis=0)
+    mscores0 = jnp.exp(jnp.max(inner, axis=1))
+    mutual = m1[m0] == jnp.arange(inner.shape[0])
+    ok = mutual & (mscores0 > threshold)
+    return np.asarray(m0), np.asarray(ok)
+
+
 def load_lightglue(checkpoint: Optional[str] = None, desc_dim: int = 128):
     params = init_lightglue(jax.random.PRNGKey(0), desc_dim)
     if checkpoint:

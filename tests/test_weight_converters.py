@@ -185,3 +185,371 @@ def test_sam2_conv_transpose_matches_torch(rng):
     }
     ours = np.asarray(_conv_transpose(p, "u", jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+# -------------------------------------------------------------- lightglue
+def _torch_lightglue_sd(rng, d=32, heads=2, layers=2):
+    """Random mini official-LightGlue state_dict (cvg/LightGlue names)."""
+    t = lambda *s: torch.tensor(
+        rng.normal(scale=0.2, size=s).astype(np.float32))
+    hd = d // heads
+    sd = {
+        "input_proj.weight": t(d, d),
+        "input_proj.bias": t(d) * 0.1,
+        "posenc.Wr.weight": t(hd // 2, 2),
+    }
+    for i in range(layers):
+        p = f"transformers.{i}"
+        sd[f"{p}.self_attn.Wqkv.weight"] = t(3 * d, d)
+        sd[f"{p}.self_attn.Wqkv.bias"] = t(3 * d) * 0.1
+        sd[f"{p}.self_attn.out_proj.weight"] = t(d, d)
+        sd[f"{p}.self_attn.out_proj.bias"] = t(d) * 0.1
+        for blk in ("self_attn", "cross_attn"):
+            sd[f"{p}.{blk}.ffn.0.weight"] = t(2 * d, 2 * d)
+            sd[f"{p}.{blk}.ffn.0.bias"] = t(2 * d) * 0.1
+            sd[f"{p}.{blk}.ffn.1.weight"] = 1 + 0.1 * t(2 * d)
+            sd[f"{p}.{blk}.ffn.1.bias"] = 0.1 * t(2 * d)
+            sd[f"{p}.{blk}.ffn.3.weight"] = t(d, 2 * d)
+            sd[f"{p}.{blk}.ffn.3.bias"] = t(d) * 0.1
+        sd[f"{p}.cross_attn.to_qk.weight"] = t(d, d)
+        sd[f"{p}.cross_attn.to_qk.bias"] = t(d) * 0.1
+        sd[f"{p}.cross_attn.to_v.weight"] = t(d, d)
+        sd[f"{p}.cross_attn.to_v.bias"] = t(d) * 0.1
+        sd[f"{p}.cross_attn.to_out.weight"] = t(d, d)
+        sd[f"{p}.cross_attn.to_out.bias"] = t(d) * 0.1
+        sd[f"log_assignment.{i}.matchability.weight"] = t(1, d)
+        sd[f"log_assignment.{i}.matchability.bias"] = t(1) * 0.1
+        sd[f"log_assignment.{i}.final_proj.weight"] = t(d, d)
+        sd[f"log_assignment.{i}.final_proj.bias"] = t(d) * 0.1
+    return sd
+
+
+def _torch_lightglue_forward(sd, kpts0, kpts1, d0, d1, size, d=32, heads=2,
+                             layers=2):
+    """Published LightGlue forward in torch.nn.functional."""
+    import torch.nn.functional as TF
+
+    hd = d // heads
+
+    def norm_kpts(k):
+        size_t = torch.tensor(size, dtype=torch.float32)
+        return (k - size_t / 2) / (size_t.max() / 2)
+
+    def rotary(k):
+        proj = TF.linear(k, sd["posenc.Wr.weight"])
+        c = torch.cos(proj).repeat_interleave(2, dim=-1)[:, None]
+        s = torch.sin(proj).repeat_interleave(2, dim=-1)[:, None]
+        return c, s
+
+    def rot_half(x):
+        x = x.unflatten(-1, (-1, 2))
+        x1, x2 = x.unbind(dim=-1)
+        return torch.stack((-x2, x1), dim=-1).flatten(start_dim=-2)
+
+    def ffn(p, x, msg):
+        h = torch.cat([x, msg], -1)
+        h = TF.linear(h, sd[f"{p}.ffn.0.weight"], sd[f"{p}.ffn.0.bias"])
+        h = TF.layer_norm(h, (2 * d,), sd[f"{p}.ffn.1.weight"],
+                          sd[f"{p}.ffn.1.bias"])
+        h = TF.gelu(h)
+        return x + TF.linear(h, sd[f"{p}.ffn.3.weight"],
+                             sd[f"{p}.ffn.3.bias"])
+
+    def self_block(p, x, emb):
+        B, N, _ = x.shape
+        qkv = TF.linear(x, sd[f"{p}.Wqkv.weight"], sd[f"{p}.Wqkv.bias"])
+        qkv = qkv.unflatten(-1, (heads, hd, 3)).transpose(1, 2)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+        c, s = emb
+        q = q * c + rot_half(q) * s
+        k = k * c + rot_half(k) * s
+        ctx = TF.scaled_dot_product_attention(q, k, v)
+        msg = TF.linear(ctx.transpose(1, 2).flatten(start_dim=-2),
+                        sd[f"{p}.out_proj.weight"],
+                        sd[f"{p}.out_proj.bias"])
+        return ffn(p, x, msg)
+
+    def cross_block(p, x0, x1):
+        B = x0.shape[0]
+
+        def split(t):
+            return t.unflatten(-1, (heads, hd)).transpose(1, 2)
+
+        qk0 = split(TF.linear(x0, sd[f"{p}.to_qk.weight"],
+                              sd[f"{p}.to_qk.bias"]))
+        qk1 = split(TF.linear(x1, sd[f"{p}.to_qk.weight"],
+                              sd[f"{p}.to_qk.bias"]))
+        v0 = split(TF.linear(x0, sd[f"{p}.to_v.weight"],
+                             sd[f"{p}.to_v.bias"]))
+        v1 = split(TF.linear(x1, sd[f"{p}.to_v.weight"],
+                             sd[f"{p}.to_v.bias"]))
+        scale = hd ** -0.5
+        qk0, qk1 = qk0 * scale ** 0.5, qk1 * scale ** 0.5
+        sim = qk0 @ qk1.transpose(-1, -2)
+        m0 = torch.softmax(sim, -1) @ v1
+        m1 = torch.softmax(sim.transpose(-1, -2), -1) @ v0
+
+        def out(x, m):
+            msg = TF.linear(m.transpose(1, 2).flatten(start_dim=-2),
+                            sd[f"{p}.to_out.weight"],
+                            sd[f"{p}.to_out.bias"])
+            return ffn(p, x, msg)
+
+        return out(x0, m0), out(x1, m1)
+
+    k0, k1 = norm_kpts(kpts0)[None], norm_kpts(kpts1)[None]
+    x0 = TF.linear(d0[None], sd["input_proj.weight"],
+                   sd["input_proj.bias"])
+    x1 = TF.linear(d1[None], sd["input_proj.weight"],
+                   sd["input_proj.bias"])
+    e0, e1 = rotary(k0), rotary(k1)
+    for i in range(layers):
+        p = f"transformers.{i}"
+        x0 = self_block(f"{p}.self_attn", x0, e0)
+        x1 = self_block(f"{p}.self_attn", x1, e1)
+        x0, x1 = cross_block(f"{p}.cross_attn", x0, x1)
+    p = f"log_assignment.{layers - 1}"
+    m0 = TF.linear(x0, sd[f"{p}.final_proj.weight"],
+                   sd[f"{p}.final_proj.bias"]) / d ** 0.25
+    m1 = TF.linear(x1, sd[f"{p}.final_proj.weight"],
+                   sd[f"{p}.final_proj.bias"]) / d ** 0.25
+    sim = torch.einsum("bmd,bnd->bmn", m0, m1)
+    z0 = TF.linear(x0, sd[f"{p}.matchability.weight"],
+                   sd[f"{p}.matchability.bias"])
+    z1 = TF.linear(x1, sd[f"{p}.matchability.weight"],
+                   sd[f"{p}.matchability.bias"])
+    cert = TF.logsigmoid(z0) + TF.logsigmoid(z1).transpose(1, 2)
+    s0 = TF.log_softmax(sim, 2)
+    s1 = TF.log_softmax(sim.transpose(-1, -2), 2).transpose(-1, -2)
+    B, m, n = sim.shape
+    scores = sim.new_zeros(B, m + 1, n + 1)
+    scores[:, :m, :n] = s0 + s1 + cert
+    scores[:, :m, n] = TF.logsigmoid(-z0)[..., 0]
+    scores[:, m, :n] = TF.logsigmoid(-z1)[..., 0]
+    return scores[0]
+
+
+def test_lightglue_converter_parity(tmp_path, rng):
+    """Mini official LightGlue in torch -> convert -> our faithful JAX
+    forward reproduces the final log-assignment matrix."""
+    import jax.numpy as jnp
+
+    from convert_weights import convert_lightglue
+    from splat_one_tpu.models import lightglue_tpu as lg
+
+    d, heads, layers = 32, 2, 2
+    sd = _torch_lightglue_sd(rng, d=d, heads=heads, layers=layers)
+    ck = tmp_path / "lg_mini.pth"
+    torch.save(sd, ck)
+    out = tmp_path / "lg_mini.npz"
+    convert_lightglue(str(ck), str(out))
+
+    m, n = 40, 37
+    size = (640.0, 480.0)
+    k0 = rng.uniform(0, 640, (m, 2)).astype(np.float32)
+    k1 = rng.uniform(0, 480, (n, 2)).astype(np.float32)
+    d0 = rng.normal(scale=0.5, size=(m, d)).astype(np.float32)
+    d1 = rng.normal(scale=0.5, size=(n, d)).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_lightglue_forward(
+            sd, torch.tensor(k0), torch.tensor(k1), torch.tensor(d0),
+            torch.tensor(d1), size, d=d, heads=heads,
+            layers=layers).numpy()
+
+    z = np.load(out)
+    params = {k: jnp.asarray(z[k]) for k in z.files}
+    ours = np.asarray(lg.lightglue_forward_ckpt(
+        params, k0, k1, d0, d1, size, size, n_heads=heads))
+    scale = np.abs(ref).max() + 1e-8
+    assert np.abs(ours - ref).max() / scale < 2e-5, (
+        np.abs(ours - ref).max(), scale)
+
+
+# ---------------------------------------------------------------- depth
+def _torch_dav2_sd(rng, C=32, D=4, heads=2, F=16, out_ch=(8, 12, 16, 24),
+                   n=4):
+    """Random mini Depth-Anything-V2 state_dict with the published key
+    names (DINOv2 backbone `pretrained.*` + DPT head `depth_head.*`)."""
+    t = lambda *s: torch.tensor(
+        rng.normal(scale=0.25, size=s).astype(np.float32))
+    sd = {
+        "pretrained.patch_embed.proj.weight": t(C, 3, 14, 14),
+        "pretrained.patch_embed.proj.bias": t(C),
+        "pretrained.pos_embed": t(1, 1 + n * n, C),
+        "pretrained.cls_token": t(1, 1, C),
+        "pretrained.norm.weight": 1 + 0.1 * t(C),
+        "pretrained.norm.bias": 0.1 * t(C),
+    }
+    for d in range(D):
+        p = f"pretrained.blocks.{d}"
+        sd[f"{p}.norm1.weight"] = 1 + 0.1 * t(C)
+        sd[f"{p}.norm1.bias"] = 0.1 * t(C)
+        sd[f"{p}.attn.qkv.weight"] = t(3 * C, C) * 0.3
+        sd[f"{p}.attn.qkv.bias"] = t(3 * C) * 0.1
+        sd[f"{p}.attn.proj.weight"] = t(C, C) * 0.3
+        sd[f"{p}.attn.proj.bias"] = t(C) * 0.1
+        sd[f"{p}.norm2.weight"] = 1 + 0.1 * t(C)
+        sd[f"{p}.norm2.bias"] = 0.1 * t(C)
+        sd[f"{p}.mlp.fc1.weight"] = t(4 * C, C) * 0.3
+        sd[f"{p}.mlp.fc1.bias"] = t(4 * C) * 0.1
+        sd[f"{p}.mlp.fc2.weight"] = t(C, 4 * C) * 0.3
+        sd[f"{p}.mlp.fc2.bias"] = t(C) * 0.1
+        sd[f"{p}.ls1.gamma"] = t(C) * 0.1 + 1.0
+        sd[f"{p}.ls2.gamma"] = t(C) * 0.1 + 1.0
+    for i, co in enumerate(out_ch):
+        sd[f"depth_head.projects.{i}.weight"] = t(co, C, 1, 1)
+        sd[f"depth_head.projects.{i}.bias"] = t(co)
+    sd["depth_head.resize_layers.0.weight"] = t(out_ch[0], out_ch[0], 4, 4)
+    sd["depth_head.resize_layers.0.bias"] = t(out_ch[0])
+    sd["depth_head.resize_layers.1.weight"] = t(out_ch[1], out_ch[1], 2, 2)
+    sd["depth_head.resize_layers.1.bias"] = t(out_ch[1])
+    sd["depth_head.resize_layers.3.weight"] = t(out_ch[3], out_ch[3], 3, 3)
+    sd["depth_head.resize_layers.3.bias"] = t(out_ch[3])
+    for i, co in enumerate(out_ch):
+        sd[f"depth_head.scratch.layer{i + 1}_rn.weight"] = t(F, co, 3, 3)
+    for j in range(1, 5):
+        p = f"depth_head.scratch.refinenet{j}"
+        for u in (1, 2):
+            for c in (1, 2):
+                sd[f"{p}.resConfUnit{u}.conv{c}.weight"] = t(F, F, 3, 3) * .3
+                sd[f"{p}.resConfUnit{u}.conv{c}.bias"] = t(F) * 0.1
+        sd[f"{p}.out_conv.weight"] = t(F, F, 1, 1)
+        sd[f"{p}.out_conv.bias"] = t(F) * 0.1
+    sd["depth_head.scratch.output_conv1.weight"] = t(F // 2, F, 3, 3)
+    sd["depth_head.scratch.output_conv1.bias"] = t(F // 2) * 0.1
+    sd["depth_head.scratch.output_conv2.0.weight"] = t(32, F // 2, 3, 3)
+    sd["depth_head.scratch.output_conv2.0.bias"] = t(32) * 0.1
+    sd["depth_head.scratch.output_conv2.2.weight"] = t(1, 32, 1, 1)
+    sd["depth_head.scratch.output_conv2.2.bias"] = t(1) * 0.1
+    return sd
+
+
+def _torch_dav2_forward(sd, x, C=32, D=4, heads=2, out_ch=(8, 12, 16, 24)):
+    """Published DA-V2 forward in torch.nn.functional: DINOv2 backbone
+    (get_intermediate_layers with final norm, cls dropped) + DPTHead."""
+    import torch.nn.functional as TF
+
+    B = x.shape[0]
+    ph, pw = x.shape[2] // 14, x.shape[3] // 14
+    h = TF.conv2d(x, sd["pretrained.patch_embed.proj.weight"],
+                  sd["pretrained.patch_embed.proj.bias"], stride=14)
+    h = h.flatten(2).transpose(1, 2)  # [B, N, C]
+    cls = sd["pretrained.cls_token"].expand(B, -1, -1)
+    h = torch.cat([cls, h], dim=1) + sd["pretrained.pos_embed"]
+    tap_at = {D // 4 - 1, D // 2 - 1, 3 * D // 4 - 1, D - 1}
+    taps = []
+    for d in range(D):
+        p = f"pretrained.blocks.{d}"
+        y = TF.layer_norm(h, (C,), sd[f"{p}.norm1.weight"],
+                          sd[f"{p}.norm1.bias"], eps=1e-6)
+        qkv = TF.linear(y, sd[f"{p}.attn.qkv.weight"],
+                        sd[f"{p}.attn.qkv.bias"])
+        N = y.shape[1]
+        q, k, v = qkv.reshape(B, N, 3, heads, C // heads).permute(
+            2, 0, 3, 1, 4)
+        att = (q @ k.transpose(-2, -1)) * (C // heads) ** -0.5
+        att = att.softmax(dim=-1)
+        o = (att @ v).transpose(1, 2).reshape(B, N, C)
+        o = TF.linear(o, sd[f"{p}.attn.proj.weight"],
+                      sd[f"{p}.attn.proj.bias"])
+        h = h + o * sd[f"{p}.ls1.gamma"]
+        y = TF.layer_norm(h, (C,), sd[f"{p}.norm2.weight"],
+                          sd[f"{p}.norm2.bias"], eps=1e-6)
+        y = TF.gelu(TF.linear(y, sd[f"{p}.mlp.fc1.weight"],
+                              sd[f"{p}.mlp.fc1.bias"]))
+        y = TF.linear(y, sd[f"{p}.mlp.fc2.weight"], sd[f"{p}.mlp.fc2.bias"])
+        h = h + y * sd[f"{p}.ls2.gamma"]
+        if d in tap_at:
+            normed = TF.layer_norm(h, (C,), sd["pretrained.norm.weight"],
+                                   sd["pretrained.norm.bias"], eps=1e-6)
+            taps.append(normed[:, 1:])
+    feats = []
+    for i, tp in enumerate(taps):
+        f = TF.conv2d(
+            tp.transpose(1, 2).reshape(B, C, ph, pw),
+            sd[f"depth_head.projects.{i}.weight"],
+            sd[f"depth_head.projects.{i}.bias"])
+        feats.append(f)
+    feats[0] = TF.conv_transpose2d(
+        feats[0], sd["depth_head.resize_layers.0.weight"],
+        sd["depth_head.resize_layers.0.bias"], stride=4)
+    feats[1] = TF.conv_transpose2d(
+        feats[1], sd["depth_head.resize_layers.1.weight"],
+        sd["depth_head.resize_layers.1.bias"], stride=2)
+    feats[3] = TF.conv2d(
+        feats[3], sd["depth_head.resize_layers.3.weight"],
+        sd["depth_head.resize_layers.3.bias"], stride=2, padding=1)
+    rn = [TF.conv2d(feats[i],
+                    sd[f"depth_head.scratch.layer{i + 1}_rn.weight"],
+                    padding=1) for i in range(4)]
+
+    def rcu(p, z):
+        y = TF.relu(z)
+        y = TF.conv2d(y, sd[f"{p}.conv1.weight"], sd[f"{p}.conv1.bias"],
+                      padding=1)
+        y = TF.relu(y)
+        y = TF.conv2d(y, sd[f"{p}.conv2.weight"], sd[f"{p}.conv2.bias"],
+                      padding=1)
+        return z + y
+
+    def fuse(p, z, res=None, size=None):
+        if res is not None:
+            z = z + rcu(f"{p}.resConfUnit1", res)
+        z = rcu(f"{p}.resConfUnit2", z)
+        if size is None:
+            size = (z.shape[2] * 2, z.shape[3] * 2)
+        z = TF.interpolate(z, size=size, mode="bilinear",
+                           align_corners=True)
+        return TF.conv2d(z, sd[f"{p}.out_conv.weight"],
+                         sd[f"{p}.out_conv.bias"])
+
+    p4 = fuse("depth_head.scratch.refinenet4", rn[3], size=rn[2].shape[2:])
+    p3 = fuse("depth_head.scratch.refinenet3", p4, rn[2],
+              size=rn[1].shape[2:])
+    p2 = fuse("depth_head.scratch.refinenet2", p3, rn[1],
+              size=rn[0].shape[2:])
+    p1 = fuse("depth_head.scratch.refinenet1", p2, rn[0])
+    out = TF.conv2d(p1, sd["depth_head.scratch.output_conv1.weight"],
+                    sd["depth_head.scratch.output_conv1.bias"], padding=1)
+    out = TF.interpolate(out, size=(ph * 14, pw * 14), mode="bilinear",
+                         align_corners=True)
+    out = TF.conv2d(out, sd["depth_head.scratch.output_conv2.0.weight"],
+                    sd["depth_head.scratch.output_conv2.0.bias"], padding=1)
+    out = TF.relu(out)
+    out = TF.conv2d(out, sd["depth_head.scratch.output_conv2.2.weight"],
+                    sd["depth_head.scratch.output_conv2.2.bias"])
+    return TF.relu(out)[:, 0]
+
+
+def test_depth_converter_parity(tmp_path, rng, monkeypatch):
+    """Mini DA-V2 in torch (published architecture, random weights) ->
+    convert_weights depth -> our faithful JAX forward matches the torch
+    activations (VERDICT r2 item 6)."""
+    import jax.numpy as jnp
+
+    from convert_weights import convert_depth
+    from splat_one_tpu.models import depth_tpu
+
+    C, D, heads, F = 32, 4, 2, 16
+    sd = _torch_dav2_sd(rng, C=C, D=D, heads=heads, F=F)
+    ck = tmp_path / "dav2_mini.pth"
+    torch.save(sd, ck)
+    out = tmp_path / "dav2_mini.npz"
+    monkeypatch.setitem(
+        depth_tpu.CONFIGS, "mini",
+        dict(width=C, depth=D, heads=heads, features=F))
+    convert_depth(str(ck), "mini", str(out))
+
+    x = rng.normal(scale=0.7, size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_dav2_forward(sd, torch.tensor(x), C=C, D=D,
+                                  heads=heads).numpy()
+
+    z = np.load(out)
+    params = {k: jnp.asarray(z[k]) for k in z.files if k != "_encoder"}
+    params["_encoder"] = "mini"
+    ours = np.asarray(depth_tpu.depth_forward_faithful(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    scale = np.abs(ref).max() + 1e-8
+    assert np.abs(ours - ref).max() / scale < 2e-4, (
+        np.abs(ours - ref).max(), scale)
