@@ -45,6 +45,10 @@ def main():
         sh_degree_interval=max(steps // 8, 1),
         batch_size=1,
         test_every=8,
+        # auto capacity = 4x the 4k seed points = 16k, which CAPS
+        # densification below the GT splat count — a structural underfit
+        # (r2's PSNR 15.6 row); give growth real headroom by default
+        capacity=int(os.environ.get("QB_CAP", 65536)),
         result_dir="results/quality_bench",
         # CPU A/B (r2): 4x more splats at the same step budget did NOT move
         # PSNR — quality here is STEP-bound, not splat-bound; run with

@@ -123,7 +123,7 @@ def main():
     jax.block_until_ready(pgrads)
 
     def red_fn(pgrads, c):
-        seg = si_mod.reduce_stream_grads(pgrads + c * 1e-12, N_GAUSS)
+        seg = si_mod.reduce_stream_grads(pgrads + c * 1e-12, N_GAUSS, packed=stream_raster._use_packed_grads())
         return c + jnp.sum(seg[0]) * 1e-12
 
     timeit("bwd reduction (sort+segreduce)", loop(red_fn), pgrads)
@@ -131,15 +131,18 @@ def main():
     def sort_fn(pgrads, c):
         pg = pgrads + c * 1e-12
         parts = jax.lax.sort(
-            [pg[si_mod.GCOL_KEY]] + [pg[i] for i in range(10)],
+            [pg[si_mod.PCOL_KEY]] + [pg[i] for i in range(5)],
             is_stable=False, num_keys=1)
         return c + jnp.sum(parts[1]) * 1e-12
 
-    timeit("  sort only (10 payloads)", loop(sort_fn), pgrads)
+    timeit("  sort only (packed: 5 payloads)", loop(sort_fn), pgrads)
 
     from splat_one_tpu.ops import seg_reduce
+    n_pk = 5 if stream_raster._use_packed_grads() else 10
+    key_row = (si_mod.PCOL_KEY if stream_raster._use_packed_grads()
+               else si_mod.GCOL_KEY)
     parts = jax.lax.sort(
-        [pgrads[si_mod.GCOL_KEY]] + [pgrads[i] for i in range(10)],
+        [pgrads[key_row]] + [pgrads[i] for i in range(n_pk)],
         is_stable=False, num_keys=1)
     rows = jnp.stack(list(parts[1:]) + [parts[0]], axis=0)
     rows = jnp.pad(rows, ((0, 0), (0, seg_reduce.CH)))
@@ -152,7 +155,8 @@ def main():
 
     def seg_fn(rows, bounds, c):
         out = seg_reduce.segment_reduce_sorted(
-            rows + c * 1e-12, bounds, N_GAUSS)
+            rows + c * 1e-12, bounds, N_GAUSS,
+            unpack=stream_raster._use_packed_grads())
         return c + jnp.sum(out[0]) * 1e-12
 
     timeit("  segreduce kernel only", loop(seg_fn), rows, bounds)

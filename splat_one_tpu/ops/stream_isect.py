@@ -178,7 +178,11 @@ def supertile_grid(width: int, height: int, tile_size: int, ss: int = SS):
 
 
 def _expand_index(offsets: jax.Array, capacity: int) -> jax.Array:
-    """slot -> parent index: marker scatter at run starts + cumsum."""
+    """slot -> parent index: marker scatter at run starts + cumsum.
+
+    Measured r3: the 1M-element marker scatter is ~8-9 ms (XLA scatter
+    costs ~8 ns/element) and dominates this stage; the 3M cumsum is ~1 ms
+    (a Pallas single-pass scan kernel was tried and saved nothing)."""
     buckets = jnp.zeros((capacity,), jnp.int32)
     upd = jnp.ones_like(offsets[1:], dtype=jnp.int32)
     buckets = buckets.at[jnp.clip(offsets[1:], 0, capacity - 1)].add(
@@ -353,6 +357,11 @@ def build_stream_intersections(
     # 2. expansion + 3. ONE meta row gather. All meta values are exact in
     # f32 (supertile coords < 2^7, offsets < 2^24), so depth rides along in
     # the same table and the whole thing is a single rate-bound gather.
+    # (Measured r3 dead end: reconstructing per-slot meta gather-free via
+    # int32 DELTA rows scattered at run starts + a Pallas multi-row cumsum
+    # is bit-exact but 2.6x SLOWER — XLA scatter costs ~8 ns/ELEMENT, so
+    # the [MP, 8] row scatter alone is 64 ms vs the 15 ms gather. Gathers
+    # are per-ROW; scatters per-element: only scatter narrow data.)
     g_of_s = _expand_index(offsets, EXP)  # [EXP] slot -> parent index
     meta = jnp.stack(
         [

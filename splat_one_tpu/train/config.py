@@ -102,6 +102,12 @@ class Config:
     raster_impl: str = "stream"
     # stream-impl exp_cap sizing: avg supertiles per gaussian
     avg_supertiles_per_gaussian: float = 4.0
+    # mesh training: how projected fields move across the gauss axis —
+    # "ring" rotates shards with ppermute hops (per-hop transfers overlap
+    # neighbouring compute on ICI; the gsplat distributed all-to-all
+    # analog, reference gsplat_trainer.py:491), "all_gather" uses one
+    # fused collective (fine at small axis sizes)
+    gauss_exchange: str = "ring"
     seed: int = 42
 
     def adjust_steps(self, factor: Optional[float] = None) -> "Config":

@@ -325,6 +325,37 @@ class Trainer:
         def gather_gauss(proj):
             if not sharded:
                 return proj
+            if cfg.gauss_exchange == "ring":
+                # ring exchange (BASELINE configs 4-5 layout; the gsplat
+                # distributed all-to-all analog, gsplat_trainer.py:491):
+                # round k holds shard (i - k) mod n; each hop is a
+                # collective-permute whose transfer XLA can overlap with
+                # the neighbouring rounds' compute, and whose autodiff
+                # transpose routes that round's field gradients back to
+                # the owning shard — gradients stay sharded end-to-end.
+                perm = [(j, (j + 1) % n_gauss) for j in range(n_gauss)]
+                rounds = []
+                cur = proj
+                for k in range(n_gauss):
+                    rounds.append(cur)
+                    if k + 1 < n_gauss:
+                        cur = jax.tree.map(
+                            lambda x: jax.lax.ppermute(x, "gauss", perm),
+                            cur,
+                        )
+                # order rounds by ORIGIN shard so every device concatenates
+                # the same global order (round k on device i holds shard
+                # (i - k) mod n): roll by the device index
+                i = jax.lax.axis_index("gauss")
+
+                def reorder(*xs):
+                    stacked = jnp.stack(xs, axis=0)  # [n, B, local, ...]
+                    # round holding shard s is (i - s) mod n
+                    inv = jnp.mod(i - jnp.arange(n_gauss), n_gauss)
+                    stacked = jnp.take(stacked, inv, axis=0)
+                    return jnp.concatenate(list(stacked), axis=1)
+
+                return jax.tree.map(reorder, *rounds)
             return jax.tree.map(
                 lambda x: jax.lax.all_gather(x, "gauss", axis=1, tiled=True),
                 proj,
