@@ -103,9 +103,10 @@ def projection_jacobian(
 ) -> jax.Array:
     """Exact Jacobian d(uv)/d(p_cam): ``[..., 2, 3]`` (for EWA splatting).
 
-    Analytic closed forms for pinhole/ortho/spherical (the hot paths — a
-    vmapped ``jacfwd`` costs 3x the projection and dominates the projection
-    stage at millions of gaussians); fisheye falls back to ``jacfwd``.
+    Analytic closed forms for pinhole/ortho/spherical/fisheye (the hot
+    paths — a vmapped ``jacfwd`` costs 3x the projection and dominates the
+    projection stage at millions of gaussians); only distorted fisheye
+    (theta-polynomial ``dist``) falls back to ``jacfwd``.
     """
     x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
     fx, fy = K[..., 0, 0], K[..., 1, 1]
@@ -141,6 +142,28 @@ def projection_jacobian(
         cv = -height / jnp.pi
         dv = jnp.stack(
             [cv * dlat_dx, cv * dlat_dy, cv * dlat_dz], axis=-1
+        )
+        return jnp.stack([du, dv], axis=-2)
+    if camera_model == "fisheye" and dist is None:
+        # closed-form equidistant fisheye (same grouping as gsplat's CUDA
+        # fisheye_proj; see ops.projection for the derivation): with
+        # rho^2 = x^2+y^2, L^2 = rho^2+z^2, theta = atan2(rho, z),
+        # a = z/(L^2 rho^2), b = theta/rho^3:
+        #   du = fx [x^2 a + y^2 b, xy (a - b), -x/L^2]
+        x2, y2, xy = x * x, y * y, x * y
+        r2 = jnp.maximum(x2 + y2, 1e-7)
+        L2 = r2 + z * z
+        inv_L2 = 1.0 / jnp.maximum(L2, 1e-7)
+        theta = jnp.arctan2(jnp.sqrt(r2), z)
+        b_f = theta / (r2 * jnp.sqrt(r2))
+        a_f = z * inv_L2 / r2
+        du = jnp.stack(
+            [fx * (x2 * a_f + y2 * b_f), fx * xy * (a_f - b_f),
+             -fx * x * inv_L2], axis=-1
+        )
+        dv = jnp.stack(
+            [fy * xy * (a_f - b_f), fy * (y2 * a_f + x2 * b_f),
+             -fy * y * inv_L2], axis=-1
         )
         return jnp.stack([du, dv], axis=-2)
 

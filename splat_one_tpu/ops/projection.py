@@ -162,13 +162,33 @@ def project_gaussians(
             j10 = cv * px * py / (r2 * rxz)
             j11 = cv * -rxz / r2
             j12 = cv * pz * py / (r2 * rxz)
-        else:  # fisheye: exact jacfwd fallback (not a hot path)
-            p_cam = jnp.stack([px, py, pz], axis=-1)
-            J = cam.projection_jacobian(
-                p_cam, K, width, height, camera_model
-            )
-            j00, j01, j02 = J[:, 0, 0], J[:, 0, 1], J[:, 0, 2]
-            j10, j11, j12 = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
+        elif camera_model == "fisheye":
+            # closed-form equidistant-fisheye Jacobian (SoA — replaces the
+            # r2 jacfwd fallback, which paid vmapped dual numbers per
+            # gaussian). With rho^2 = x^2+y^2, L^2 = rho^2+z^2,
+            # theta = atan2(rho, z), a = z/(L^2 rho^2), b = theta/rho^3:
+            #   du/dx = fx (x^2 a + y^2 b),  du/dy = fx xy (a - b),
+            #   du/dz = -fx x / L^2          (and symmetrically for v) —
+            # the same grouping as gsplat's CUDA fisheye_proj; the rho->0
+            # pole is clamped like gsplat (rho^2 >= 1e-7).
+            eps_f = 1e-7
+            x2 = px * px
+            y2 = py * py
+            xy = px * py
+            r2 = jnp.maximum(x2 + y2, eps_f)
+            L2 = r2 + pz * pz
+            inv_L2 = 1.0 / jnp.maximum(L2, eps_f)
+            theta = jnp.arctan2(jnp.sqrt(r2), pz)
+            b_f = theta / (r2 * jnp.sqrt(r2))
+            a_f = pz * inv_L2 / r2
+            j00 = fx * (x2 * a_f + y2 * b_f)
+            j01 = fx * xy * (a_f - b_f)
+            j02 = -fx * px * inv_L2
+            j10 = fy * xy * (a_f - b_f)
+            j11 = fy * (y2 * a_f + x2 * b_f)
+            j12 = -fy * py * inv_L2
+        else:
+            raise ValueError(f"unknown camera_model {camera_model!r}")
 
         # A = J @ B  (2x3), then cov2d = A A^T
         a00 = j00 * b00 + j01 * b10 + j02 * b20

@@ -268,3 +268,27 @@ class TestGradParity:
         assert ga.max() > 0
         # absgrad sums |per-pixel contributions| >= |their sum|
         assert np.all(ga + 1e-6 >= np.abs(gm))
+
+
+def test_fisheye_parity():
+    """Closed-form fisheye EWA Jacobian end-to-end: render parity vs the
+    oracle (stream backend), and grads finite."""
+    means, quats, scales, opac, sh, viewmats, Ks = make_scene(250, seed=9)
+    proj = project_gaussians(
+        means, quats, scales, opac, viewmats, Ks, W, H,
+        sh_coeffs=sh, sh_degree=1, camera_model="fisheye",
+    )
+    rgb_o, a_o, _ = composite_reference(proj, W, H)
+
+    def loss_fn(m):
+        render, alpha, info = rasterization(
+            m, quats, scales, opac, sh, viewmats, Ks, W, H,
+            sh_degree=1, camera_model="fisheye", impl="stream",
+        )
+        return jnp.sum(render), (render, alpha)
+
+    (_, (render, alpha)), g = jax.value_and_grad(
+        loss_fn, has_aux=True)(means)
+    np.testing.assert_allclose(render[..., 0:3], rgb_o, atol=1e-4)
+    np.testing.assert_allclose(alpha, a_o, atol=1e-4)
+    assert np.all(np.isfinite(np.asarray(g)))

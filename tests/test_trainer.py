@@ -60,6 +60,23 @@ class TestTrainer:
         assert stats["psnr"] > 10.0
         assert 0 <= stats["ssim"] <= 1
 
+    def test_fisheye_training_loop(self, tmp_path):
+        # closed-form fisheye EWA Jacobian drives a real training loop
+        # (r3: replaced the jacfwd fallback; gsplat camera_model="fisheye"
+        # surface, reference gsplat_trainer.py:477-494)
+        s, _ = make_synthetic_scene(
+            n_gaussians=300, n_cameras=4, width=64, height=64,
+            n_points=150, camera_model="fisheye",
+        )
+        tr = Trainer(
+            small_cfg(tmp_path, camera_model="fisheye", max_steps=30,
+                      eval_steps=[30], save_steps=[30]), s,
+        )
+        hist = tr.train(log_every=10)
+        losses = [h["loss"] for h in hist]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.9, losses
+
     def test_densification_grows(self, scene, tmp_path):
         cfg = small_cfg(
             tmp_path,
