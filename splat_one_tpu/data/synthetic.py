@@ -129,7 +129,18 @@ def make_synthetic_scene(
 
     scene = SceneData(
         camtoworlds=c2ws, Ks=Ks, images=images.astype(np.float32),
-        points=points, points_rgb=points_rgb, scene_scale=1.0,
+        # scene_scale convention shared with the COLMAP/OpenSfM parsers
+        # (max camera distance from the camera centroid x 1.1, reference
+        # gsplat_trainer.py:330-333). The old hardcoded 1.0 made the
+        # DefaultStrategy big-splat prune (0.1 * scene_scale) fire on
+        # legitimate splats once step > reset_every — the r3 quality-bench
+        # run collapsed to zero splats through exactly that.
+        points=points, points_rgb=points_rgb,
+        scene_scale=float(
+            np.linalg.norm(
+                c2ws[:, :3, 3] - c2ws[:, :3, 3].mean(0), axis=-1
+            ).max() * 1.1
+        ),
         camera_model=camera_model,
     )
     gt = dict(means=means, quats=quats, scales=scales, opacities=opac,
