@@ -30,6 +30,15 @@ ITERS = 10
 # "stream" (supertile-stream rasterizer, default) or "tiled" (gen-1).
 IMPL = os.environ.get("SPLAT_BENCH_IMPL", "stream")
 CHUNK = int(os.environ.get("SPLAT_BENCH_CHUNK", "128"))  # kernel chunk G
+# "uniform" (synthetic random scene, the round-over-round headline) or
+# "trained": seed the 1M gaussians from the quality-bench trained
+# checkpoint's distribution — real trained scenes have highly skewed
+# per-tile loads, so supertile early-termination/gating wins measured on
+# uniform noise are re-validated on a realistic distribution.
+SCENE = os.environ.get("SPLAT_BENCH_SCENE", "uniform")
+QB_CKPT_DIR = os.environ.get(
+    "SPLAT_BENCH_CKPT_DIR", "results/quality_bench/ckpts"
+)
 
 
 def _watchdog(seconds: float):
@@ -54,6 +63,66 @@ def _watchdog(seconds: float):
     return t
 
 
+def _trained_scene(rng):
+    """1M-gaussian scene resampled from the quality-bench trained
+    checkpoint: each bench splat is a jittered copy of a trained splat
+    (scales shrunk by the sqrt of the upsample factor so total overlap
+    stays scene-like), viewed through a training camera — preserves the
+    skewed per-tile load distribution of real trained scenes."""
+    import glob
+
+    cks = sorted(glob.glob(os.path.join(QB_CKPT_DIR, "*.npz")))
+    if not cks:
+        raise SystemExit(
+            f"SPLAT_BENCH_SCENE=trained needs a checkpoint in "
+            f"{QB_CKPT_DIR} (run scripts/quality_bench.py first)"
+        )
+    zf = np.load(cks[-1])
+    # trainer checkpoints store params as "params['means']" etc.
+    z = {}
+    for k in zf.files:
+        kk = k
+        if k.startswith("params['"):
+            kk = k[len("params['"):-2]
+        z[kk] = zf[k]
+    z_files = set(z)
+    alive = z["alive"] if "alive" in z_files else np.ones(
+        z["means"].shape[0], bool)
+    idx_alive = np.flatnonzero(alive)
+    n_src = len(idx_alive)
+    pick = idx_alive[rng.integers(0, n_src, N_GAUSS)]
+    factor = N_GAUSS / max(n_src, 1)
+    means = np.asarray(z["means"])[pick].astype(np.float32)
+    scales_w = np.exp(np.asarray(z["scales"])[pick]).astype(np.float32)
+    # jitter each copy by its own extent; shrink so overlap stays sane
+    means = means + rng.normal(size=means.shape).astype(
+        np.float32) * scales_w
+    scales = (np.log(np.maximum(scales_w, 1e-8))
+              - 0.5 * np.log(factor)).astype(np.float32)
+    scales = np.exp(scales)
+    quats = np.asarray(z["quats"])[pick].astype(np.float32)
+    opac = 1.0 / (1.0 + np.exp(-np.asarray(z["opacities"])[pick])).astype(
+        np.float32)
+    K = z["sh0"].shape[1] + z["shN"].shape[1]
+    sh = np.concatenate([z["sh0"], z["shN"]], axis=1)[pick].astype(
+        np.float32)
+    if sh.shape[1] < 16:
+        sh = np.pad(sh, ((0, 0), (0, 16 - sh.shape[1]), (0, 0)))
+    cam = None
+    if cam is None:
+        # quality-bench cameras: ring radius 3, height -0.8, fov 60
+        from splat_one_tpu.data.synthetic import ring_cameras
+
+        c2ws, KsQ = ring_cameras(24, 3.0, -0.8, 60.0, W, H)
+        from splat_one_tpu.core.transforms import invert_se3
+        import jax.numpy as jnp
+
+        viewmats = np.asarray(invert_se3(jnp.asarray(c2ws[:1]))).astype(
+            np.float32)
+        Ks = KsQ[:1].astype(np.float32)
+    return means, quats, scales, opac, sh, viewmats, Ks
+
+
 def main():
     wd = _watchdog(float(os.environ.get("SPLAT_BENCH_TIMEOUT", "1200")))
     import jax
@@ -63,18 +132,22 @@ def main():
     from splat_one_tpu.render.rasterization import rasterization
 
     rng = np.random.default_rng(0)
-    means = rng.uniform(-1, 1, (N_GAUSS, 3)).astype(np.float32)
-    means[:, 2] += 4
-    quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
-    scales = (np.exp(rng.uniform(-6.5, -5.0, (N_GAUSS, 3))) * 3).astype(
-        np.float32
-    )
-    opac = rng.uniform(0.3, 1.0, N_GAUSS).astype(np.float32)
-    sh = (rng.normal(size=(N_GAUSS, 16, 3)) * 0.3).astype(np.float32)
-    viewmats = np.eye(4, dtype=np.float32)[None]
-    Ks = np.array(
-        [[[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]]], np.float32
-    )
+    if SCENE == "trained":
+        means, quats, scales, opac, sh, viewmats, Ks = _trained_scene(rng)
+    else:
+        means = rng.uniform(-1, 1, (N_GAUSS, 3)).astype(np.float32)
+        means[:, 2] += 4
+        quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
+        scales = (np.exp(rng.uniform(-6.5, -5.0, (N_GAUSS, 3))) * 3).astype(
+            np.float32
+        )
+        opac = rng.uniform(0.3, 1.0, N_GAUSS).astype(np.float32)
+        sh = (rng.normal(size=(N_GAUSS, 16, 3)) * 0.3).astype(np.float32)
+        viewmats = np.eye(4, dtype=np.float32)[None]
+        Ks = np.array(
+            [[[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]]],
+            np.float32,
+        )
     if IMPL == "tiled":
         caps = IsectCaps.choose(
             N_GAUSS, 1, (-(-W // 16)) * (-(-H // 16)),
@@ -133,7 +206,9 @@ def main():
 
     mpix_s = W * H / dt / 1e6
     out = {
-        "metric": "fwd_bwd_mpix_per_s_1m_gaussians_720p_1chip",
+        "metric": ("fwd_bwd_mpix_per_s_1m_gaussians_720p_1chip"
+                   if SCENE == "uniform" else
+                   "fwd_bwd_mpix_per_s_1m_trained_720p_1chip"),
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / NOMINAL_GPU_MPIX_S, 3),

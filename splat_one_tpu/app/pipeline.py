@@ -137,6 +137,16 @@ def detect_features(
         bearings = np.asarray(
             cam_mod.unproject(jnp.asarray(xys), jnp.asarray(K), W0, H0, model)
         )
+        # angular size of one DETECTION pixel (keypoint localization is
+        # ~1 detection px): spherical panoramas span 2pi over the processed
+        # width; perspective uses the normalized focal. Drives the auto
+        # reprojection-outlier threshold in reconstruct().
+        proc_size = max(W0, H0) * scale
+        if cam["projection_type"] == "spherical":
+            ang_res = 2.0 * np.pi / max(W0 * scale, 1.0)
+        else:
+            f_norm = cam.get("focal", exif["focal_ratio"])
+            ang_res = 1.0 / max(f_norm * proc_size, 1.0)
         np.savez(
             os.path.join(fdir, name + ".features.npz"),
             xys=xys,
@@ -146,6 +156,7 @@ def detect_features(
             bearings=bearings,
             width=W0,
             height=H0,
+            angular_res=np.float32(ang_res),
         )
         if progress:
             progress(i + 1, len(images))
@@ -286,11 +297,14 @@ def reconstruct(workdir: str, progress: ProgressFn = None,
             {int(k): int(v) for k, v in tr.items()} for tr in json.load(f)
         ]
     bearings = []
+    ang_res = []
     for n in images:
         z = np.load(
             os.path.join(workdir, "features", n + ".features.npz")
         )
         bearings.append(z["bearings"].astype(np.float32))
+        if "angular_res" in z.files:
+            ang_res.append(float(z["angular_res"]))
     with open(os.path.join(workdir, "matches", "matches.json")) as f:
         raw = json.load(f)
     idx_of = {n: i for i, n in enumerate(images)}
@@ -309,6 +323,17 @@ def reconstruct(workdir: str, progress: ProgressFn = None,
         snapshot = viewer.update
     gps_positions = None
     cfg = RC.ReconstructConfig()
+    if ang_res:
+        # resolution-aware reprojection-outlier threshold: ~1.3 detection
+        # pixels of angle. The old fixed 0.01 rad is ~2.5 px at 256 px /
+        # 60 deg fov — loose enough that contaminated tracks warp the BA
+        # minimum (r3 A/B: spiral median center error 0.47 -> 0.016 of
+        # spread, ring 0.117 -> 0.018, both 100% registered).
+        thr = 1.3 * float(np.median(ang_res))
+        cfg = RC.ReconstructConfig(
+            outlier_threshold=thr,
+            ransac_threshold=min(1.3 * thr, 0.006),
+        )
     if bundle_use_gps:
         from splat_one_tpu.data.opensfm import latlon_to_utm
 

@@ -125,16 +125,13 @@ class TestWorkdirPipeline:
             scale * (B - muB) @ R_al.T + muA - A, axis=-1
         )
         spread = np.linalg.norm(A - muA, axis=-1).mean()
-        # mechanics guard: the ring must be recovered as a ring (bounded
-        # drift), not a catastrophically wrong or collapsed solution.
-        # Sub-pixel accuracy tightening is round-2 work.
-        assert err.max() < 0.8 * spread, (err, spread)
-        # round-1 accuracy bars restored: the r2 review fixes (PnP
-        # cheirality, pi-stable log map) cured the "bent ring" warped
-        # minimum — measured median 0.117*spread / max 0.325*spread on this
-        # scene (scripts/sfm_ring_repro.py; graduated-anneal A/B was worse
-        # and stays off). Do NOT loosen these bars.
-        assert np.median(err) < 0.35 * spread, (err, spread)
+        # r3 accuracy tier: the resolution-aware reprojection-outlier
+        # threshold (~1.3 detection px of angle; pipeline.reconstruct)
+        # cut this scene's errors from median 0.117 / max 0.325 of spread
+        # to ~0.02 / ~0.05 (scripts/sfm_ring_repro.py at SFM_OUTLIER ~=
+        # 0.005). Bars leave ~3x headroom. Do NOT loosen these bars.
+        assert err.max() < 0.15 * spread, (err, spread)
+        assert np.median(err) < 0.08 * spread, (err, spread)
 
 
 class TestMaskStage:
