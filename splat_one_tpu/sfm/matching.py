@@ -229,17 +229,23 @@ def robust_filter_matches(
 
     if len(matches) < min_matches:
         return matches[:0]
-    b1 = jnp.asarray(bearings1[matches[:, 0]])
-    b2 = jnp.asarray(bearings2[matches[:, 1]])
-    # 8-point: pairwise VERIFICATION only needs a cheap linear solve over
-    # hundreds of matches; the 5-point minimal solver (16-start GN per
-    # hypothesis, 16x the hypothesis count) is reserved for the planar-
-    # sensitive init-pair / two-view-geometry call sites
+    M = len(matches)
+    # pad to power-of-2 buckets with a validity mask: a raw [M, 3] input
+    # re-compiles RANSAC for every distinct match count — at hundreds of
+    # pairs that is hundreds of XLA CPU executables (measured: ~4.7 s/pair
+    # nearly all compile, and enough JIT code memory to abort a 200-image
+    # run with LLVM allocation failures). Buckets cap it at ~6 compiles.
+    cap = max(64, 1 << (M - 1).bit_length())
+    b1 = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (cap, 1))
+    b2 = b1.copy()
+    b1[:M] = bearings1[matches[:, 0]]
+    b2[:M] = bearings2[matches[:, 1]]
+    valid = np.arange(cap) < M
     res = ransac_essential(
-        key, b1, b2, jnp.ones(len(matches), bool), threshold=threshold,
-        solver="5pt",
+        key, jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(valid),
+        threshold=threshold, solver="5pt",
     )
     if int(res.n_inliers) < min_inliers:
         return matches[:0]
-    inl = np.asarray(res.inliers)
+    inl = np.asarray(res.inliers)[:M]
     return matches[inl]

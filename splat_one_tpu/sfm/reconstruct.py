@@ -62,6 +62,15 @@ class ReconstructConfig:
     # hatch for scenes that do land in a warped robust-loss minimum.
     final_anneal: bool = False
     anneal_schedule: Tuple[float, ...] = (8.0, 4.0, 2.0, 1.0)
+    # PnP resection keeps a looser inlier gate than track filtering:
+    # resection must succeed from the not-yet-converged early geometry,
+    # while the tight track threshold protects the bundle minimum
+    resection_threshold_mult: float = 2.0
+    # retry the whole incremental build from the next-best init pair when
+    # registration stalls (<90% of images with observations) — outcomes
+    # are chaotic in the init pair on marginal geometry (measured r2/r3);
+    # keep the attempt registering the most cameras (ties: most points)
+    init_retries: int = 3
 
 
 @dataclasses.dataclass
@@ -127,6 +136,21 @@ def triangulate_nview(
     return X, max_ang
 
 
+def _pad_pow2(X: np.ndarray, bb: np.ndarray, min_cap: int = 32):
+    """Pad (points, bearings) to a power-of-two bucket with a validity
+    mask: unpadded shapes re-jit RANSAC for every distinct observation
+    count — hundreds of XLA CPU executables per reconstruction, enough
+    mmap pressure to abort long runs with LLVM allocation failures."""
+    n = len(X)
+    cap = max(min_cap, 1 << max(n - 1, 1).bit_length())
+    Xp = np.zeros((cap, 3), np.float32)
+    Xp[:n] = X
+    bp = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (cap, 1))
+    bp[:n] = bb
+    valid = np.arange(cap) < n
+    return jnp.asarray(Xp), jnp.asarray(bp), jnp.asarray(valid), n
+
+
 def _reproj_ok(pose: np.ndarray, X: np.ndarray, b: np.ndarray, thr: float):
     R = _R_of(pose[:3])
     p = R @ X + pose[3:]
@@ -149,6 +173,67 @@ def incremental_reconstruct(
     gps_positions: Dict[int, np.ndarray] = None,  # image -> [3]
     # topocentric meters; used when cfg.bundle_use_gps
 ) -> Reconstruction:
+    """Retry wrapper: the incremental build is chaotic in the init pair
+    on marginal geometry (measured r2/r3) — attempt from successive viable
+    init pairs, score each attempt by (cameras registered, then LOWER
+    median reprojection residual — a warped self-consistent minimum still
+    carries ~2x the residual of the true one on the r3 spiral A/Bs), and
+    stop early only when an attempt is both complete AND tight."""
+    n_with_obs = sum(
+        1 for img in range(len(bearings))
+        if any(img in tr for tr in tracks)
+    )
+    best = None
+    best_key = None
+    attempts = 0
+    for k in range(max(cfg.init_retries, 1)):
+        rec = _reconstruct_attempt(
+            bearings, tracks, pair_inliers, cfg, seed + k, snapshot,
+            gps_positions, init_skip=k,
+        )
+        attempts = k + 1
+        jax.clear_caches()  # bound XLA-CPU executable/mmap growth
+        med_res = _median_residual(rec, bearings, tracks)
+        rec.report["median_residual"] = med_res
+        key_k = (len(rec.poses), -med_res)
+        if best is None or key_k > best_key:
+            best, best_key = rec, key_k
+        if (len(rec.poses) >= 0.9 * max(n_with_obs, 1)
+                and med_res <= 0.2 * cfg.outlier_threshold):
+            break
+    best.report["init_attempts"] = attempts
+    return best
+
+
+def _median_residual(rec: Reconstruction, bearings, tracks) -> float:
+    """Median angular reprojection residual over all observations of the
+    reconstruction (host; the attempt-quality signal)."""
+    rs = []
+    for tid, X in rec.points.items():
+        for img, feat in tracks[tid].items():
+            pose = rec.poses.get(img)
+            if pose is None:
+                continue
+            R = _R_of(pose[:3])
+            pc = R @ X + pose[3:]
+            n = np.linalg.norm(pc)
+            if n < 1e-9:
+                continue
+            rs.append(np.linalg.norm(np.cross(pc / n,
+                                              bearings[img][feat])))
+    return float(np.median(rs)) if rs else float("inf")
+
+
+def _reconstruct_attempt(
+    bearings: List[np.ndarray],
+    tracks: List[Dict[int, int]],
+    pair_inliers: Dict[Tuple[int, int], int],
+    cfg: ReconstructConfig,
+    seed: int,
+    snapshot,
+    gps_positions,
+    init_skip: int = 0,
+) -> Reconstruction:
     key = jax.random.PRNGKey(seed)
     n_images = len(bearings)
     obs_of_image: List[List[Tuple[int, int]]] = [
@@ -168,7 +253,12 @@ def incremental_reconstruct(
                 out.append((tid, tr[i], tr[j]))
         return out
 
+    # score ALL leading candidates and open with the best (inliers x
+    # median-parallax), not the first viable one: the whole incremental
+    # build is chaotic in the init pair (measured r2/r3), so the opening
+    # two-view geometry gets a large hypothesis budget and a real score
     best = None
+    best_score = -1.0
     for (i, j), n_inl in sorted(
         pair_inliers.items(), key=lambda kv: -kv[1]
     )[:10]:
@@ -178,14 +268,15 @@ def incremental_reconstruct(
         b1 = np.stack([bearings[i][f1] for _, f1, _ in com])
         b2 = np.stack([bearings[j][f2] for _, _, f2 in com])
         key, k1 = jax.random.split(key)
+        b1p, b2p, vmask, _ = _pad_pow2(b1, b2)
         res = geo.ransac_essential(
-            k1, jnp.asarray(b1), jnp.asarray(b2),
-            jnp.ones(len(com), bool), threshold=cfg.ransac_threshold,
+            k1, b1p, b2p, vmask, threshold=cfg.ransac_threshold,
+            n_hyp=1024,
         )
         if int(res.n_inliers) < cfg.init_min_inliers:
             continue
         R, t, n_good = geo.decompose_essential(
-            res.E, jnp.asarray(b1), jnp.asarray(b2), res.inliers
+            res.E, b1p, b2p, res.inliers
         )
         # parallax check on triangulated inliers
         X = np.asarray(
@@ -194,7 +285,7 @@ def incremental_reconstruct(
                 jnp.asarray(b1), jnp.asarray(b2),
             )
         )
-        inl = np.asarray(res.inliers)
+        inl = np.asarray(res.inliers)[:len(com)]
         rays1 = X[inl]
         rays2 = X[inl] - np.asarray(-(np.asarray(R).T @ np.asarray(t)))
         cosang = np.sum(rays1 * rays2, -1) / (
@@ -205,8 +296,16 @@ def incremental_reconstruct(
         med_ang = np.degrees(np.arccos(np.clip(np.median(cosang), -1, 1)))
         if med_ang < cfg.min_parallax_deg:
             continue
-        best = (i, j, com, np.asarray(R), np.asarray(t), inl, X)
-        break
+        if init_skip > 0:
+            init_skip -= 1
+            continue
+        # rank by RANSAC inlier count (parallax is a gate, not a weight:
+        # weighting by angle picked far low-overlap pairs on the ring
+        # scene and regressed it 10x)
+        score = float(res.n_inliers)
+        if score > best_score:
+            best_score = score
+            best = (i, j, com, np.asarray(R), np.asarray(t), inl, X)
     if best is None:
         return Reconstruction({}, {}, {"error": "no valid init pair"})
 
@@ -297,17 +396,36 @@ def incremental_reconstruct(
             [np.stack(bs), np.tile([[0, 0, 1.0]], (pad, 1))]
         ).astype(np.float32)
         valid = np.arange(Epad) < E
-        problem = ba_mod.build_problem(
-            ci, pi, bs, len(img_list), len(pt_list), valid=valid
-        )
-        cams = jnp.asarray(np.stack([poses[im] for im in img_list]))
-        pts = jnp.asarray(np.stack([points[p] for p in pt_list]))
+        # cams/points pad to buckets too: the LM while-loop otherwise
+        # re-jits at every bundle as the model grows (dozens of multi-
+        # second XLA compiles across a 200-image run). Padded cams are
+        # frozen no-edge identities; padded points have no edges.
+        C_real, P_real = len(img_list), len(pt_list)
+        import os as _os
+        if _os.environ.get("SFM_NO_BAPAD"):
+            Cpad, Ppad = C_real, P_real
+        else:
+            Cpad = -(-C_real // 8) * 8
+            Ppad = 1 << max(P_real - 1, 1).bit_length()
+        problem = ba_mod.build_problem(ci, pi, bs, Cpad, Ppad, valid=valid)
+        cams = np.zeros((Cpad, 6), np.float32)
+        cams[:C_real] = np.stack([poses[im] for im in img_list])
+        pts = np.zeros((Ppad, 3), np.float32)
+        pts[:P_real] = np.stack([points[p] for p in pt_list])
+        cams = jnp.asarray(cams)
+        pts = jnp.asarray(pts)
+        if fixed is not None:
+            fixed = np.concatenate(
+                [fixed, np.ones(Cpad - C_real, bool)])
+        elif Cpad != C_real:
+            fixed = np.concatenate(
+                [np.zeros(C_real, bool), np.ones(Cpad - C_real, bool)])
         is_local = local_img is not None
         cam_pos_priors = None
         if use_gps:
             w_gps = 1.0 / max(cfg.gps_sd_m, 1e-3) ** 2
-            gpos = np.zeros((len(img_list), 3), np.float32)
-            gw = np.zeros((len(img_list),), np.float32)
+            gpos = np.zeros((Cpad, 3), np.float32)
+            gw = np.zeros((Cpad,), np.float32)
             for a, im in enumerate(img_list):
                 if im in gps_positions:
                     gpos[a] = np.asarray(gps_positions[im], np.float32)
@@ -327,7 +445,8 @@ def incremental_reconstruct(
                 # boundary cameras (or falls back to pinning)
                 fix_first_camera=(
                     not use_gps
-                    and (not is_local or fixed is None or not fixed.any())
+                    and (not is_local or fixed is None
+                         or not fixed[:C_real].any())
                 ),
             ),
             fixed_cams=None if fixed is None else jnp.asarray(fixed),
@@ -375,11 +494,15 @@ def incremental_reconstruct(
 
     # ---- incremental registration loop
     since_bundle = 0
+    deferred = {}  # img -> strike count (tight post-bundle validation)
+    deferred_until = {}  # img -> n_poses before it may try again
     while True:
         # next image: most triangulated observations
         cand_scores = {}
         for img in range(n_images):
             if img in poses:
+                continue
+            if deferred_until.get(img, 0) > len(poses):
                 continue
             n_seen = sum(
                 1 for tid, _ in obs_of_image[img] if tid in points
@@ -396,11 +519,23 @@ def incremental_reconstruct(
         ]
         X = np.stack([points[tid] for tid, _ in obs])
         bb = np.stack([bearings[img][feat] for _, feat in obs])
+        # tight-first resection: the tight gate protects the bundle
+        # minimum; the loose gate (resection_threshold_mult) is only a
+        # fallback so marginal images can still register, and THOSE are
+        # tight-validated after their local bundle (below)
         key, k1 = jax.random.split(key)
+        Xp, bp, vmask, _ = _pad_pow2(X, bb)
         R_est, t_est, inliers, n_inl = geo.ransac_pnp(
-            k1, jnp.asarray(X), jnp.asarray(bb),
-            jnp.ones(len(obs), bool), threshold=cfg.outlier_threshold,
+            k1, Xp, bp, vmask, threshold=cfg.outlier_threshold,
         )
+        used_loose = False
+        if int(n_inl) < cfg.resection_min_inliers:
+            key, k1 = jax.random.split(key)
+            thr_res = cfg.outlier_threshold * cfg.resection_threshold_mult
+            R_est, t_est, inliers, n_inl = geo.ransac_pnp(
+                k1, Xp, bp, vmask, threshold=thr_res,
+            )
+            used_loose = True
         if int(n_inl) < cfg.resection_min_inliers:
             # cannot register this one reliably; drop it from candidates
             obs_of_image[img] = []
@@ -409,11 +544,13 @@ def incremental_reconstruct(
             [_rvec_from_R(np.asarray(R_est)), np.asarray(t_est)]
         ).astype(np.float32)
         report["steps"].append(
-            {"resection": img, "inliers": int(n_inl), "of": len(obs)}
+            {"resection": img, "inliers": int(n_inl), "of": len(obs),
+             "loose": used_loose}
         )
 
         # triangulate new tracks now observable from >= 2 registered views
         n_new = 0
+        new_tids = []
         for tid, feat in obs_of_image[img]:
             if tid in points:
                 continue
@@ -437,13 +574,43 @@ def incremental_reconstruct(
                 for im, f in regs
             ):
                 points[tid] = Xp.astype(np.float32)
+                new_tids.append(tid)
                 n_new += 1
         if cfg.local_bundle_enabled:
             run_bundle(local_img=img)
+        # TIGHT post-bundle validation of loose-gate registrations: a
+        # pose that still fails the tight threshold after its local
+        # bundle would warp everything downstream (measured r3: one such
+        # early pose moved the spiral median error 0.034 -> 0.27 of
+        # spread). Undo it, roll back its new points, and defer the
+        # image — it usually registers cleanly later, against a more
+        # mature model.
+        ok_tight = len(obs) if not used_loose else sum(
+            _reproj_ok(poses[img], points[tid], bearings[img][feat],
+                       cfg.outlier_threshold)
+            for tid, feat in obs_of_image[img] if tid in points
+        )
+        if ok_tight < cfg.resection_min_inliers:
+            del poses[img]
+            for tid in new_tids:
+                points.pop(tid, None)
+            deferred[img] = deferred.get(img, 0) + 1
+            # wait for the model to grow before retrying; three strikes out
+            deferred_until[img] = len(poses) + 3
+            if deferred[img] >= 3:
+                obs_of_image[img] = []
+            report["steps"].append(
+                {"deferred": img, "tight_inliers": int(ok_tight)}
+            )
+            continue
         since_bundle += 1
         if since_bundle >= cfg.bundle_interval:
             run_bundle()
             since_bundle = 0
+        if len(poses) % 50 == 0:
+            # long runs accumulate compiled executables (bucketing bounds
+            # the SHAPE count, but growth/retries still add up); trim
+            jax.clear_caches()
         if snapshot is not None:
             snapshot(dict(poses), dict(points))
 
@@ -522,15 +689,16 @@ def incremental_reconstruct(
         X = np.stack([points[tid] for tid, _ in obs])
         bb = np.stack([bearings[img][feat] for _, feat in obs])
         key, k1 = jax.random.split(key)
+        thr_res = cfg.outlier_threshold * cfg.resection_threshold_mult
+        Xp, bp, vmask, _ = _pad_pow2(X, bb)
         R_est, t_est, inliers, n_inl = geo.ransac_pnp(
-            k1, jnp.asarray(X), jnp.asarray(bb),
-            jnp.ones(len(obs), bool), threshold=cfg.outlier_threshold,
+            k1, Xp, bp, vmask, threshold=thr_res,
         )
         cand = np.concatenate(
             [_rvec_from_R(np.asarray(R_est)), np.asarray(t_est)]
         ).astype(np.float32)
         cur_ok = sum(
-            _reproj_ok(poses[img], x, b, cfg.outlier_threshold)
+            _reproj_ok(poses[img], x, b, thr_res)
             for x, b in zip(X, bb)
         )
         if int(n_inl) > cur_ok:
