@@ -112,7 +112,17 @@ def main():
         a, b = k.split("|")
         counts[(idx_of[a], idx_of[b])] = len(m)
 
-    cfg = RC.ReconstructConfig()
+    # default to the pipeline's resolution-aware threshold (what the e2e
+    # test exercises); SFM_OUTLIER still overrides for A/Bs
+    ang_res = [
+        float(np.load(os.path.join(WD, "features", n + ".features.npz"))
+              ["angular_res"])
+        for n in images
+    ]
+    thr = 1.3 * float(np.median(ang_res))
+    cfg = RC.ReconstructConfig(
+        outlier_threshold=thr, ransac_threshold=min(1.3 * thr, 0.006)
+    )
     for name, env, cast in [
         ("outlier_threshold", "SFM_OUTLIER", float),
         ("final_bundle_max_iterations", "SFM_FINAL_ITERS", int),
@@ -152,6 +162,12 @@ def main():
     final = [st for st in rec.report["steps"] if "bundle" in st]
     if final:
         print("final bundle cost:", final[-1].get("cost"))
+    print("init_attempts:", rec.report.get("init_attempts"),
+          " median_residual:", rec.report.get("median_residual"))
+    loose = [st for st in rec.report["steps"] if st.get("loose")]
+    deferred = [st for st in rec.report["steps"] if "deferred" in st]
+    print(f"loose resections: {[st['resection'] for st in loose]}  "
+          f"deferred: {[st['deferred'] for st in deferred]}")
 
 
 if __name__ == "__main__":

@@ -227,13 +227,20 @@ def match_features(
     raw = M.match_pairs_brute_force(
         descs, valids, pairs, ratio=lowes_ratio, progress_callback=progress
     )
+    # resolution-aware verification threshold (same cure as reconstruct's
+    # outlier_threshold, r3): the fixed 0.008 rad default is ~2 detection
+    # pixels at 256 px / 60 deg — loose enough that contaminated matches
+    # survive verification and warp the downstream bundle minimum
+    ang = [float(feats[n]["angular_res"]) for n in images
+           if "angular_res" in feats[n]]
+    thr_match = min(1.6 * float(np.median(ang)), 0.008) if ang else 0.008
     key = jax.random.PRNGKey(0)
     out = {}
     for (i, j), m in raw.items():
         key, k1 = jax.random.split(key)
         fm = M.robust_filter_matches(
             k1, m, feats[images[i]]["bearings"],
-            feats[images[j]]["bearings"],
+            feats[images[j]]["bearings"], threshold=thr_match,
         )
         if len(fm):
             out[f"{images[i]}|{images[j]}"] = fm.tolist()

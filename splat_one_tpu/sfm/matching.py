@@ -241,9 +241,13 @@ def robust_filter_matches(
     b1[:M] = bearings1[matches[:, 0]]
     b2[:M] = bearings2[matches[:, 1]]
     valid = np.arange(cap) < M
+    # n_hyp=512: verification must be robust to sampling luck — at the
+    # default 256 the surviving inlier sets vary enough run-to-run to
+    # swing the downstream ring-scene bundle minimum 10x (measured r4
+    # when bucketing changed the PRNG draws)
     res = ransac_essential(
         key, jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(valid),
-        threshold=threshold, solver="5pt",
+        threshold=threshold, solver="5pt", n_hyp=1024,
     )
     if int(res.n_inliers) < min_inliers:
         return matches[:0]
