@@ -93,6 +93,40 @@ def _conv_transpose(p, name, x, stride=2):
 # ------------------------------------------------------------------ Hiera
 
 
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] torch-exact bicubic interpolation weights
+    (``F.interpolate(mode="bicubic")``: A=-0.75 cubic convolution,
+    half-pixel centers / align_corners=False, border-replicated taps).
+    jax.image.resize's "bicubic" is the Keys a=-0.5 kernel — close but NOT
+    what the published SAM2 applies to ``pos_embed``, so checkpoint
+    fidelity requires this kernel. Static shapes -> built host-side."""
+    A = -0.75
+    scale = n_in / n_out
+    W = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        src = (o + 0.5) * scale - 0.5
+        f = math.floor(src)
+        t = src - f
+        w = (
+            ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A,
+            ((A + 2) * t - (A + 3)) * t * t + 1,
+            ((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1,
+        )
+        w = w + (1.0 - w[0] - w[1] - w[2],)
+        for k in range(4):
+            idx = min(max(f - 1 + k, 0), n_in - 1)
+            W[o, idx] += w[k]
+    return W
+
+
+def _bicubic_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """[1, H, W, C] -> [1, out_h, out_w, C], torch-bicubic semantics."""
+    _, H, W, _ = x.shape
+    wh = jnp.asarray(_bicubic_matrix(H, out_h))
+    ww = jnp.asarray(_bicubic_matrix(W, out_w))
+    return jnp.einsum("oh,bhwc,pw->bopc", wh, x, ww)
+
+
 def _window_partition(x, ws):
     """[B, H, W, C] -> [B*nw, ws, ws, C] with bottom/right padding."""
     B, H, W, C = x.shape
@@ -157,7 +191,7 @@ def hiera_forward(p: Params, image: jax.Array, config: str
     B, H, W, C = x.shape
     # absolute positional embedding: resized global + tiled window
     pos = p[f"{t}.pos_embed"]  # converted HWIO-style: [1, 7, 7, C]
-    pos = jax.image.resize(pos, (1, H, W, C), "bicubic")
+    pos = _bicubic_resize(pos, H, W)
     pw = p[f"{t}.pos_embed_window"]  # [1, 8, 8, C]
     reps = (1, H // pw.shape[1] + 1, W // pw.shape[2] + 1, 1)
     pos = pos + jnp.tile(pw, reps)[:, :H, :W]
