@@ -553,3 +553,182 @@ def test_depth_converter_parity(tmp_path, rng, monkeypatch):
     scale = np.abs(ref).max() + 1e-8
     assert np.abs(ours - ref).max() / scale < 2e-4, (
         np.abs(ours - ref).max(), scale)
+
+
+# ------------------------------------------------------------------ aliked
+def _torch_aliked_sd(rng, c1=4, c2=8, c3=16, c4=32, dim=32, K=3, M=4):
+    """Random ALIKED state_dict in the official layout (torch OIHW convs,
+    resnet-style bias-free 3x3/1x1 convs, BatchNorm running stats)."""
+    sd = {}
+
+    def conv(name, kk, cin, cout, bias=True):
+        sd[f"{name}.weight"] = torch.tensor(rng.normal(
+            scale=0.25 / np.sqrt(kk * kk * cin),
+            size=(cout, cin, kk, kk)).astype(np.float32))
+        if bias:
+            sd[f"{name}.bias"] = torch.tensor(
+                rng.normal(scale=0.05, size=cout).astype(np.float32))
+
+    def bn(name, ch):
+        sd[f"{name}.weight"] = torch.tensor(
+            (1 + 0.1 * rng.normal(size=ch)).astype(np.float32))
+        sd[f"{name}.bias"] = torch.tensor(
+            (0.1 * rng.normal(size=ch)).astype(np.float32))
+        sd[f"{name}.running_mean"] = torch.tensor(
+            (0.1 * rng.normal(size=ch)).astype(np.float32))
+        sd[f"{name}.running_var"] = torch.tensor(
+            (1 + 0.1 * np.abs(rng.normal(size=ch))).astype(np.float32))
+
+    conv("block1.conv1", 3, 3, c1, bias=False)
+    bn("block1.bn1", c1)
+    conv("block1.conv2", 3, c1, c1, bias=False)
+    bn("block1.bn2", c1)
+    for name, cin, cout in (("block2", c1, c2), ("block3", c2, c3),
+                            ("block4", c3, c4)):
+        conv(f"{name}.conv1", 3, cin, cout, bias=False)
+        bn(f"{name}.bn1", cout)
+        conv(f"{name}.conv2", 3, cout, cout, bias=False)
+        bn(f"{name}.bn2", cout)
+        conv(f"{name}.downsample", 1, cin, cout)
+    for i, ch in enumerate((c1, c2, c3, c4), start=1):
+        conv(f"conv{i}", 1, ch, dim // 4, bias=False)
+    conv("score_head.0", 1, dim, 8, bias=False)
+    conv("score_head.2", 3, 8, 4, bias=False)
+    conv("score_head.4", 3, 4, 4, bias=False)
+    conv("score_head.6", 3, 4, 1, bias=False)
+    conv("desc_head.offset_conv.0", K, dim, 2 * M)
+    conv("desc_head.offset_conv.2", 1, 2 * M, 2 * M)
+    conv("desc_head.sf_conv", 1, dim, dim, bias=False)
+    sd["desc_head.agg_weights"] = torch.tensor(
+        rng.normal(scale=0.1, size=(M, dim, dim)).astype(np.float32))
+    return sd
+
+
+def _torch_aliked_forward(sd, x, kpts, K=3, M=4):
+    """Reference ALIKED forward in torch: ConvBlock/ResBlock encoder,
+    1x1 aggregation + align_corners bilinear upsample, SMH score head,
+    SDDH descriptors at pixel keypoints."""
+    import torch.nn.functional as TF
+
+    gate = TF.selu
+
+    def bn(name, z):
+        return TF.batch_norm(
+            z, sd[f"{name}.running_mean"], sd[f"{name}.running_var"],
+            sd[f"{name}.weight"], sd[f"{name}.bias"], False, 0.0, 1e-5)
+
+    def c2d(name, z, pad):
+        return TF.conv2d(z, sd[f"{name}.weight"],
+                         sd.get(f"{name}.bias"), padding=pad)
+
+    def conv_block(name, z):
+        z = gate(bn(f"{name}.bn1", c2d(f"{name}.conv1", z, 1)))
+        return gate(bn(f"{name}.bn2", c2d(f"{name}.conv2", z, 1)))
+
+    def res_block(name, z):
+        idn = c2d(f"{name}.downsample", z, 0)
+        out = gate(bn(f"{name}.bn1", c2d(f"{name}.conv1", z, 1)))
+        out = bn(f"{name}.bn2", c2d(f"{name}.conv2", out, 1))
+        return gate(out + idn)
+
+    x1 = conv_block("block1", x)
+    x2 = res_block("block2", TF.avg_pool2d(x1, 2))
+    x3 = res_block("block3", TF.avg_pool2d(x2, 4))
+    x4 = res_block("block4", TF.avg_pool2d(x3, 4))
+    x1 = gate(c2d("conv1", x1, 0))
+    x2 = gate(c2d("conv2", x2, 0))
+    x3 = gate(c2d("conv3", x3, 0))
+    x4 = gate(c2d("conv4", x4, 0))
+    hw = x.shape[2:]
+    up = lambda z: TF.interpolate(z, size=hw, mode="bilinear",
+                                  align_corners=True)
+    x1234 = torch.cat([x1, up(x2), up(x3), up(x4)], dim=1)
+    s = gate(c2d("score_head.0", x1234, 0))
+    s = gate(c2d("score_head.2", s, 1))
+    s = gate(c2d("score_head.4", s, 1))
+    score = torch.sigmoid(c2d("score_head.6", s, 1))[:, 0]
+    feat = TF.normalize(x1234, p=2.0, dim=1)
+
+    # SDDH at pixel keypoints
+    B, C, H, W = feat.shape
+    f0 = feat[0]
+    r = K // 2
+    fpad = TF.pad(f0, (r, r, r, r))
+    descs = []
+    for kx, ky in kpts:
+        cx, cy = int(kx), int(ky)
+        patch = fpad[:, cy:cy + K, cx:cx + K][None]  # [1, C, K, K]
+        o = TF.conv2d(patch, sd["desc_head.offset_conv.0.weight"],
+                      sd["desc_head.offset_conv.0.bias"])
+        o = TF.conv2d(gate(o), sd["desc_head.offset_conv.2.weight"],
+                      sd["desc_head.offset_conv.2.bias"])
+        offsets = o.reshape(M, 2)
+        pos = torch.tensor([[float(kx), float(ky)]]) + offsets  # [M, 2]
+        grid = torch.stack(
+            [2 * pos[:, 0] / (W - 1) - 1, 2 * pos[:, 1] / (H - 1) - 1],
+            dim=-1).reshape(1, M, 1, 2)
+        samp = TF.grid_sample(f0[None], grid, mode="bilinear",
+                              padding_mode="zeros",
+                              align_corners=True)  # [1, C, M, 1]
+        samp = gate(TF.conv2d(samp, sd["desc_head.sf_conv.weight"]))
+        samp = samp[0, :, :, 0].T  # [M, C]
+        d = torch.einsum("mc,mcd->d", samp, sd["desc_head.agg_weights"])
+        descs.append(TF.normalize(d, p=2.0, dim=0))
+    return score[0], feat[0], torch.stack(descs)
+
+
+def test_aliked_converter_parity(tmp_path, rng):
+    """Mini ALIKED in torch (published architecture, random weights) ->
+    convert_weights aliked -> our faithful JAX encoder + SDDH match the
+    torch activations (VERDICT r2 item 6, the last of the five nets)."""
+    import jax.numpy as jnp
+
+    from convert_weights import convert_aliked
+    from splat_one_tpu.models import aliked_tpu
+
+    K, M = 3, 4
+    sd = _torch_aliked_sd(rng, K=K, M=M)
+    ck = tmp_path / "aliked_mini.pth"
+    torch.save(sd, ck)
+    out = tmp_path / "aliked_mini.npz"
+    convert_aliked(str(ck), str(out))
+
+    x = rng.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    kpts = np.array(
+        [[5.0, 7.0], [31.0, 17.0], [62.5, 62.0], [0.0, 40.0]], np.float32)
+    with torch.no_grad():
+        score_t, feat_t, desc_t = _torch_aliked_forward(
+            sd, torch.tensor(x), kpts, K=K, M=M)
+
+    params = aliked_tpu.load_aliked(str(out))
+    assert "block1.conv1.weight" in params  # faithful tier selected
+    score_j, feat_j = aliked_tpu.aliked_encoder(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    desc_j = aliked_tpu.sddh_descriptors(
+        params, feat_j[0], jnp.asarray(kpts), K=K, M=M)
+
+    assert np.abs(np.asarray(score_j[0]) - score_t.numpy()).max() < 1e-5
+    feat_ref = feat_t.numpy().transpose(1, 2, 0)
+    assert np.abs(np.asarray(feat_j[0]) - feat_ref).max() < 1e-5
+    assert np.abs(np.asarray(desc_j) - desc_t.numpy()).max() < 1e-4
+
+
+def test_aliked_ckpt_extract_features(rng):
+    """The faithful tier plugs into the Features extraction contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from splat_one_tpu.models import aliked_tpu
+
+    params = aliked_tpu.init_aliked_ckpt(jax.random.PRNGKey(1),
+                                         "aliked-t16")
+    img = jnp.asarray(rng.uniform(size=(48, 64)).astype(np.float32))
+    feats = aliked_tpu.extract_aliked_ckpt(
+        params, img, max_keypoints=64, score_threshold=0.0,
+        K=3, M=16)
+    assert feats.xys.shape == (64, 2)
+    assert feats.descriptors.shape[1] == 64  # aliked-t16 dim
+    n = int(np.sum(np.asarray(feats.valid)))
+    assert n > 0
+    d = np.asarray(feats.descriptors)[np.asarray(feats.valid)]
+    assert np.allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
