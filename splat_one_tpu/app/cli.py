@@ -45,6 +45,12 @@ def main(argv=None):
             sp.add_argument(
                 "--feature-process-size", type=int, default=1024
             )
+            sp.add_argument(
+                "--feature-type", default="SIFT",
+                choices=["SIFT", "ORB", "HAHOG", "ALIKED", "AKAZE",
+                         "SURF"],
+            )
+            sp.add_argument("--aliked-checkpoint", default=None)
         if name in ("match-features",):
             sp.add_argument("--lowes-ratio", type=float, default=0.8)
             sp.add_argument("--order-neighbors", type=int, default=0)
@@ -116,6 +122,8 @@ def main(argv=None):
         n = pipeline.detect_features(
             args.workdir, max_keypoints=args.max_keypoints,
             feature_process_size=args.feature_process_size,
+            feature_type=args.feature_type,
+            aliked_checkpoint=args.aliked_checkpoint,
             progress=_progress("features"),
         )
         print(f"detected features for {n} images")

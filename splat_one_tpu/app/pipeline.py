@@ -83,15 +83,37 @@ def detect_features(
     max_keypoints: int = 2048,
     feature_process_size: int = 1024,
     contrast_threshold: float = 0.01,
+    feature_type: str = "SIFT",
+    aliked_checkpoint: str | None = None,
     progress: ProgressFn = None,
 ) -> int:
     """images/ -> features/<img>.features.npz (xys in original pixels +
-    normalized coords, descriptors, bearings from the camera model)."""
+    normalized coords, descriptors, bearings from the camera model).
+
+    ``feature_type`` mirrors the reference's classical menu
+    (app/feature_extractor.py:68 / OpenSfM config.yaml:7): SIFT (the DoG
+    detector, default), ORB (FAST + rotated BRIEF, sfm.orb), HAHOG
+    (Harris ranking + oriented binary descriptor), ALIKED (learned;
+    checkpoint-faithful when ``aliked_checkpoint`` is a converted npz).
+    AKAZE/SURF (nonlinear scale space / box-filter Hessian) are not
+    implemented; requesting them raises rather than silently aliasing."""
     import jax.numpy as jnp
 
     from splat_one_tpu.app.image_processing import ImageProcessor
     from splat_one_tpu.core import cameras as cam_mod
     from splat_one_tpu.sfm import features as F
+
+    ft = feature_type.upper()
+    if ft in ("AKAZE", "SURF"):
+        raise NotImplementedError(
+            f"feature_type={feature_type}: use SIFT/ORB/HAHOG/ALIKED "
+            "(AKAZE's nonlinear diffusion scale space is not implemented)"
+        )
+    if ft == "ALIKED":
+        from splat_one_tpu.models import aliked_tpu
+
+        aliked_params = aliked_tpu.load_aliked(aliked_checkpoint)
+        aliked_faithful = "block1.conv1.weight" in aliked_params
 
     proc = ImageProcessor(workdir)
     images = proc.list_images()
@@ -109,10 +131,30 @@ def detect_features(
             scale = feature_process_size / max(W0, H0)
             img = img.resize((int(W0 * scale), int(H0 * scale)))
         arr = np.asarray(img).astype(np.float32) / 255.0
-        feats = F.extract_features(
-            jnp.asarray(arr), max_keypoints=max_keypoints,
-            contrast_threshold=contrast_threshold,
-        )
+        if ft == "ORB":
+            from splat_one_tpu.sfm.orb import extract_orb
+
+            feats = extract_orb(jnp.asarray(arr),
+                                max_keypoints=max_keypoints)
+        elif ft == "HAHOG":
+            from splat_one_tpu.sfm.orb import extract_harris
+
+            feats = extract_harris(jnp.asarray(arr),
+                                   max_keypoints=max_keypoints)
+        elif ft == "ALIKED":
+            if aliked_faithful:
+                feats = aliked_tpu.extract_aliked_ckpt(
+                    aliked_params, jnp.asarray(arr),
+                    max_keypoints=max_keypoints)
+            else:
+                feats = aliked_tpu.extract_aliked(
+                    aliked_params, jnp.asarray(arr),
+                    max_keypoints=max_keypoints)
+        else:
+            feats = F.extract_features(
+                jnp.asarray(arr), max_keypoints=max_keypoints,
+                contrast_threshold=contrast_threshold,
+            )
         valid = np.asarray(feats.valid)
         xys = np.asarray(feats.xys) / scale  # original pixel coords
         # masks/<img>.png (value 0 = masked out, the OpenSfM convention the

@@ -1,0 +1,155 @@
+"""ORB / HAHOG classical feature tiers (sfm.orb).
+
+Mirrors the reference's feature_type menu breadth
+(app/feature_extractor.py:68); correctness bars follow the SIFT-tier
+tests in test_sfm_pipeline.py: detections land on corners, descriptors
+match across shifts and survive in-plane rotation (the rotated-BRIEF
+property plain BRIEF lacks)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from splat_one_tpu.sfm import matching as M  # noqa: E402
+from splat_one_tpu.sfm.orb import extract_harris, extract_orb  # noqa: E402
+
+
+def _square_corners(size=192, cell=24, step=48, lo=24):
+    """Isolated bright squares on black: every square corner is an
+    L-junction (FAST-9 fires on L-corners; a perfect checkerboard's
+    X-junctions have two 8-arcs and are correctly NOT FAST corners)."""
+    img = np.zeros((size, size), np.float32)
+    corners = []
+    for y in range(lo, size - lo - cell + 1, step):
+        for x in range(lo, size - lo - cell + 1, step):
+            img[y:y + cell, x:x + cell] = 1.0
+            corners += [(y, x), (y, x + cell - 1), (y + cell - 1, x),
+                        (y + cell - 1, x + cell - 1)]
+    return img, corners
+
+
+def _smooth_texture(seed, size=192):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(size=(size, size)).astype(np.float32)
+    import scipy.ndimage as ndi
+
+    return ndi.gaussian_filter(base, 2.0).astype(np.float32)
+
+
+class TestORB:
+    def test_fast_corners_on_squares(self):
+        img, corners = _square_corners()
+        feats = extract_orb(jnp.asarray(img), max_keypoints=256,
+                            n_levels=1)
+        ok = np.asarray(feats.valid)
+        kp = np.asarray(feats.xys)[ok]
+        assert ok.sum() >= 16
+        # detections sit within 3px of a true square corner
+        cc = np.array([(x, y) for (y, x) in corners], np.float32)
+        d = np.linalg.norm(kp[:, None] - cc[None], axis=-1).min(1)
+        assert np.median(d) < 3.0
+
+    def test_shift_matching(self):
+        base = _smooth_texture(1, 224)
+        img1 = base[16:176, 16:176]
+        img2 = base[20:180, 12:172]  # shifted (+4, -4) in (y, x)
+        f1 = extract_orb(jnp.asarray(img1), max_keypoints=384)
+        f2 = extract_orb(jnp.asarray(img2), max_keypoints=384)
+        idx2, ok = M.match_descriptors(
+            f1.descriptors, f2.descriptors, f1.valid, f2.valid
+        )
+        ok = np.asarray(ok)
+        assert ok.sum() >= 20
+        xy1 = np.asarray(f1.xys)[ok]
+        xy2 = np.asarray(f2.xys)[np.asarray(idx2)[ok]]
+        med = np.median(xy2 - xy1, axis=0)
+        np.testing.assert_allclose(med, [4.0, -4.0], atol=1.0)
+
+    def test_rotation_matching(self):
+        # rBRIEF: descriptors must survive a 90-degree in-plane rotation
+        base = _smooth_texture(2, 192)
+        img2 = np.rot90(base).copy()
+        f1 = extract_orb(jnp.asarray(base), max_keypoints=384)
+        f2 = extract_orb(jnp.asarray(img2), max_keypoints=384)
+        idx2, ok = M.match_descriptors(
+            f1.descriptors, f2.descriptors, f1.valid, f2.valid
+        )
+        ok = np.asarray(ok)
+        assert ok.sum() >= 15
+        # rot90(ccw): (x, y) -> (y, H-1-x); check the majority of matches
+        # obey the mapping
+        H = base.shape[0]
+        xy1 = np.asarray(f1.xys)[ok]
+        xy2 = np.asarray(f2.xys)[np.asarray(idx2)[ok]]
+        pred = np.stack([xy1[:, 1], H - 1 - xy1[:, 0]], axis=-1)
+        good = np.linalg.norm(pred - xy2, axis=-1) < 2.0
+        assert good.mean() > 0.6, good.mean()
+
+    def test_descriptors_unit_norm_hamming_compatible(self):
+        base = _smooth_texture(3, 160)
+        f = extract_orb(jnp.asarray(base), max_keypoints=128)
+        ok = np.asarray(f.valid)
+        d = np.asarray(f.descriptors)[ok]
+        assert np.allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+        # entries are +/- 1/sqrt(256): dot = 1 - 2*hamming/256
+        assert np.allclose(np.abs(d) * 16.0, 1.0, atol=1e-5)
+
+    def test_multilevel_scales(self):
+        base = _smooth_texture(4, 224)
+        f = extract_orb(jnp.asarray(base), max_keypoints=512, n_levels=3)
+        ok = np.asarray(f.valid)
+        assert len(np.unique(np.round(np.asarray(f.scales)[ok], 2))) >= 2
+
+
+class TestHarris:
+    def test_corners_and_shift_matching(self):
+        img, corners = _square_corners()
+        feats = extract_harris(jnp.asarray(img), max_keypoints=256)
+        ok = np.asarray(feats.valid)
+        kp = np.asarray(feats.xys)[ok]
+        assert ok.sum() >= 16
+        cc = np.array([(x, y) for (y, x) in corners], np.float32)
+        d = np.linalg.norm(kp[:, None] - cc[None], axis=-1).min(1)
+        assert np.median(d) < 3.0
+
+        base = _smooth_texture(5, 224)
+        img1 = base[16:176, 16:176]
+        img2 = base[22:182, 16:176]  # shifted (+6, 0)
+        f1 = extract_harris(jnp.asarray(img1), max_keypoints=384)
+        f2 = extract_harris(jnp.asarray(img2), max_keypoints=384)
+        idx2, ok = M.match_descriptors(
+            f1.descriptors, f2.descriptors, f1.valid, f2.valid
+        )
+        ok = np.asarray(ok)
+        assert ok.sum() >= 20
+        xy1 = np.asarray(f1.xys)[ok]
+        xy2 = np.asarray(f2.xys)[np.asarray(idx2)[ok]]
+        med = np.median(xy2 - xy1, axis=0)
+        np.testing.assert_allclose(med, [0.0, -6.0], atol=1.0)
+
+
+def test_pipeline_feature_type_dispatch(tmp_path):
+    """detect_features(feature_type=ORB) writes the same npz contract."""
+    from PIL import Image
+
+    from splat_one_tpu.app import pipeline
+
+    wd = str(tmp_path)
+    import os
+
+    os.makedirs(os.path.join(wd, "images"))
+    base = _smooth_texture(6, 160)
+    for i in range(2):
+        Image.fromarray((base * 255).astype(np.uint8)).convert(
+            "RGB").save(os.path.join(wd, "images", f"im{i}.png"))
+    pipeline.extract_metadata(wd)
+    n = pipeline.detect_features(wd, max_keypoints=128,
+                                 feature_process_size=160,
+                                 feature_type="ORB")
+    assert n == 2
+    z = np.load(os.path.join(wd, "features", "im0.png.features.npz"))
+    assert z["descriptors"].shape[0] == 128
+    assert z["bearings"].shape == (128, 3)
+    with pytest.raises(NotImplementedError):
+        pipeline.detect_features(wd, feature_type="AKAZE")
