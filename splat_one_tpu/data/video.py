@@ -185,13 +185,32 @@ def process_video(
     workdir: str,
     interval_s: float = 2.0,
     gpx_path: Optional[str] = None,
+    geotag_source: str = "file",
 ) -> int:
     """Full ingestion: frames into <workdir>/images plus
     image_descriptions.json geotags (the reference's process_video flow,
-    main_app.py:216-277)."""
+    main_app.py:216-277). ``geotag_source``: "file" (GPX/NMEA sidecar at
+    ``gpx_path``) or "camm"/"gopro"/"auto" (telemetry embedded in the
+    video itself, data.telemetry)."""
     frames = extract_frames(
         video_path, os.path.join(workdir, "images"), interval_s
     )
+    if geotag_source != "file":
+        from splat_one_tpu.data.telemetry import parse_video_geotags
+
+        track = parse_video_geotags(video_path, geotag_source)
+        if track:
+            # embedded tracks are video-relative: frame i sits at
+            # i * interval_s on the same clock
+            times = [i * interval_s for i in range(len(frames))]
+            desc = interpolate_geotags(frames, times, track)
+            desc_path = os.path.join(workdir, "image_descriptions.json")
+            with open(desc_path, "w") as f:
+                json.dump(desc, f, indent=2)
+            from splat_one_tpu.app.image_processing import ImageProcessor
+
+            ImageProcessor(workdir).apply_image_descriptions(desc_path)
+        return len(frames)
     if gpx_path:
         track = parse_geotag_file(gpx_path)
         times = [
