@@ -101,6 +101,10 @@ def main(argv=None):
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--equirect", action="store_true",
                     help="panorama multi-crop path (DAC analog)")
+    sp.add_argument("--camera-aware", action="store_true",
+                    help="route each image by its calibrated camera "
+                         "model (fisheye -> ERP resample, spherical -> "
+                         "multi-crop)")
 
     sp = sub.add_parser("visualize-features")
     sp.add_argument("workdir")
@@ -213,6 +217,7 @@ def main(argv=None):
         n = pipeline.estimate_depth(
             args.workdir, encoder=args.encoder,
             checkpoint=args.checkpoint, equirect=args.equirect,
+            camera_aware=args.camera_aware,
             progress=_progress("depth"),
         )
         print(f"wrote {n} depth maps to depth/")

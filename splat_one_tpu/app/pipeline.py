@@ -581,14 +581,18 @@ def estimate_depth(
     encoder: str = "vits",
     checkpoint: Optional[str] = None,
     equirect: bool = False,
+    camera_aware: bool = False,
     progress: ProgressFn = None,
 ) -> int:
     """Per-image monocular depth stage (the reference's depth tab,
     app/tabs/depth_tab.py:92-123,173): writes ``depth/<img>_depth.npy`` +
     a colorized PNG per image. ``equirect`` enables the multi-crop
-    panorama path (the DAC analog). Weight-gated: without a converted
-    checkpoint the maps are the documented dummy fallback
-    (depth_tab.py:178-186)."""
+    panorama path; ``camera_aware`` routes each image through the
+    camera-model-matched DAC path (fisheye images are resampled to an
+    ERP patch through the calibrated distortion, spherical panoramas use
+    the multi-crop stitch — reference README.md:63-71). Weight-gated:
+    without a converted checkpoint the maps are the documented dummy
+    fallback (depth_tab.py:178-186)."""
     from PIL import Image
 
     from splat_one_tpu.app.image_processing import ImageProcessor
@@ -605,7 +609,22 @@ def estimate_depth(
                 "RGB")
         )
         bgr = rgb[..., ::-1]
-        if equirect:
+        cam = None
+        if camera_aware:
+            exif = _load_exif(workdir, name)
+            cam = _camera_for(workdir, exif)
+        if cam is not None and cam["projection_type"] == "fisheye":
+            H0, W0 = bgr.shape[:2]
+            f = cam.get("focal", exif["focal_ratio"]) * max(W0, H0)
+            K = np.array(
+                [[f, 0, W0 / 2], [0, f, H0 / 2], [0, 0, 1]], np.float32)
+            dist = np.array(
+                [cam.get("k1", 0.0), cam.get("k2", 0.0),
+                 cam.get("k3", 0.0), cam.get("k4", 0.0)])
+            depth = model.infer_fisheye(bgr, K, dist=dist)
+        elif equirect or (
+                cam is not None
+                and cam["projection_type"] == "spherical"):
             depth = model.infer_equirectangular(bgr)
         else:
             depth = model.infer_image(bgr)

@@ -440,6 +440,81 @@ class DepthAnythingTPU:
             wsum += wgt
         return out / np.maximum(wsum, 1e-6)
 
+    def infer_fisheye(
+        self,
+        bgr: np.ndarray,  # [H, W, 3] uint8 fisheye image
+        K: np.ndarray,  # [3, 3] fisheye intrinsics (f * theta_d model)
+        dist: Optional[np.ndarray] = None,  # [4] k1..k4 theta-polynomial
+        fov_deg: float = 180.0,
+        erp_size: int = 518,
+    ) -> np.ndarray:
+        """Camera-aware fisheye depth (the DAC recipe, reference
+        README.md:63-71): resample the fisheye image onto an
+        equirectangular patch covering its FOV using the CALIBRATED
+        distortion, infer depth in ERP space, and resample back to the
+        fisheye grid — so the network never sees fisheye-warped
+        perspective and the output aligns pixel-exact with the input."""
+        H, W = bgr.shape[:2]
+        fx, fy = float(K[0, 0]), float(K[1, 1])
+        cx, cy = float(K[0, 2]), float(K[1, 2])
+        k = np.zeros(4) if dist is None else np.asarray(dist, np.float64)
+        half = np.radians(fov_deg) / 2
+
+        # --- fisheye -> ERP patch (gather via the forward projection)
+        lon = (np.arange(erp_size) + 0.5) / erp_size * 2 * half - half
+        lat = half - (np.arange(erp_size) + 0.5) / erp_size * 2 * half
+        lon, lat = np.meshgrid(lon, lat)
+        d = np.stack(
+            [np.cos(lat) * np.sin(lon), -np.sin(lat),
+             np.cos(lat) * np.cos(lon)], -1)
+        rxy = np.linalg.norm(d[..., :2], axis=-1)
+        theta = np.arctan2(rxy, d[..., 2])
+        t2 = theta * theta
+        theta_d = theta * (1 + k[0] * t2 + k[1] * t2**2 + k[2] * t2**3
+                           + k[3] * t2**4)
+        scale = theta_d / np.maximum(rxy, 1e-9)
+        su = fx * d[..., 0] * scale + cx
+        sv = fy * d[..., 1] * scale + cy
+        xi = np.clip(su.astype(int), 0, W - 1)
+        yi = np.clip(sv.astype(int), 0, H - 1)
+        erp = bgr[yi, xi]
+        dep_erp = self.infer_image(erp)
+
+        # --- ERP depth -> fisheye grid (unproject + Newton-invert theta_d)
+        u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+        mx = (u - cx) / fx
+        my = (v - cy) / fy
+        rd = np.sqrt(mx * mx + my * my)
+        th = rd.copy()
+        for _ in range(5):  # invert theta_d(theta) (monotone in-FOV)
+            t2 = th * th
+            f_ = th * (1 + k[0] * t2 + k[1] * t2**2 + k[2] * t2**3
+                       + k[3] * t2**4) - rd
+            fp = (1 + 3 * k[0] * t2 + 5 * k[1] * t2**2
+                  + 7 * k[2] * t2**3 + 9 * k[3] * t2**4)
+            th = th - f_ / np.maximum(fp, 1e-6)
+        s = np.sin(th) / np.maximum(rd, 1e-9)
+        dx = mx * s
+        dy = my * s
+        dz = np.cos(th)
+        lon_f = np.arctan2(dx, dz)
+        lat_f = np.arcsin(np.clip(-dy, -1, 1))
+        pu = (lon_f + half) / (2 * half) * erp_size - 0.5
+        pv = (half - lat_f) / (2 * half) * erp_size - 0.5
+        inside = (th <= half + 1e-6) & (pu >= 0) & (pv >= 0) & (
+            pu <= erp_size - 1) & (pv <= erp_size - 1)
+        x0 = np.clip(pu.astype(int), 0, erp_size - 2)
+        y0 = np.clip(pv.astype(int), 0, erp_size - 2)
+        fxw = np.clip(pu - x0, 0, 1)
+        fyw = np.clip(pv - y0, 0, 1)
+        out = (
+            dep_erp[y0, x0] * (1 - fxw) * (1 - fyw)
+            + dep_erp[y0, x0 + 1] * fxw * (1 - fyw)
+            + dep_erp[y0 + 1, x0] * (1 - fxw) * fyw
+            + dep_erp[y0 + 1, x0 + 1] * fxw * fyw
+        )
+        return np.where(inside, out, 0.0).astype(np.float32)
+
 
 def save_depth_outputs(depth: np.ndarray, out_dir: str, name: str):
     """Write <img>_depth.npy + turbo-colorized PNG (reference

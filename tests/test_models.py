@@ -85,6 +85,41 @@ class TestDepth:
         assert os.path.exists(tmp_path / "img1_depth.npy")
         assert os.path.exists(tmp_path / "img1_depth.png")
 
+    def test_infer_fisheye_geometry_roundtrip(self):
+        """The DAC-style fisheye path resamples fisheye -> ERP -> net ->
+        fisheye. With the net stubbed to 'return the ERP red channel',
+        the output must reproduce the INPUT's red channel inside the FOV
+        — which validates the projection, the distortion-polynomial
+        Newton inversion, and the bilinear maps end-to-end."""
+        from splat_one_tpu.models.depth_tpu import DepthAnythingTPU
+
+        model = DepthAnythingTPU("vits")
+        model.infer_image = lambda bgr: (
+            bgr[..., 2].astype(np.float32) / 255.0)  # red channel (bgr)
+
+        H = W = 160
+        f = W / np.pi  # ~180 deg equidistant
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+        dist = np.array([0.03, -0.01, 0.0, 0.0])
+        # smooth pattern in the red channel
+        yy, xx = np.mgrid[0:H, 0:W]
+        red = (0.5 + 0.4 * np.sin(xx / 11.0) * np.cos(yy / 13.0))
+        bgr = np.zeros((H, W, 3), np.uint8)
+        bgr[..., 2] = (red * 255).astype(np.uint8)
+
+        out = model.infer_fisheye(bgr, K, dist=dist, fov_deg=170.0,
+                                  erp_size=256)
+        assert out.shape == (H, W)
+        # compare inside a conservative central disc (away from the FOV
+        # boundary where the ERP patch edge clamps)
+        r = np.hypot(xx - W / 2, yy - H / 2)
+        sel = r < 0.32 * W
+        err = np.abs(out[sel] - red[sel])
+        assert np.median(err) < 0.02, np.median(err)
+        assert err.mean() < 0.04, err.mean()
+        # outside the FOV the output is masked to zero
+        assert (out[r > 0.52 * W] == 0).all()
+
 
 class TestLightGlue:
     def test_matcher_contract(self):
