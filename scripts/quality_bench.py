@@ -56,7 +56,11 @@ def main():
         strategy=DefaultStrategyCfg(
             refine_start_iter=steps // 10,
             refine_stop_iter=(3 * steps) // 4,
-            refine_every=max(steps // 40, 1),
+            # r4 A/B: steps//40 (=300 at 12k) starved growth — 12k steps
+            # ended at 5.7k splats vs 40k GT (val PSNR 16.3, UNDERFIT);
+            # gsplat's default cadence is 100
+            refine_every=int(os.environ.get("QB_REFINE_EVERY", 100)),
+            grow_grad2d=float(os.environ.get("QB_GROW_GRAD", 0.0002)),
             # opacity reset ON (gsplat default cadence): with it off, the
             # r3 12k-step run fit train views to PSNR 28.8 but collapsed
             # to 10.8 on held-out views — unpruned floaters overfit the

@@ -1,0 +1,241 @@
+"""Pallas segmented broadcast: per-parent meta -> per-slot meta, gather-free.
+
+Replaces the expansion stage of the stream-intersection builder
+(ops.stream_isect): slot -> parent index via marker scatter + cumsum
+(~9 ms at 1M parents; XLA scatter is ~8 ns/element) followed by one
+[EXP, 8] row gather (~15 ms; row gathers are rate-bound at ~6.4 ns/row,
+measured v5e) — together the single largest remaining glue cost of the
+rasterization step.
+
+Design (the inverse of ops.seg_reduce's one-hot reduction):
+
+- Parents' slot runs are contiguous in expansion order with ascending
+  start offsets, so for a chunk of CH consecutive slots the owning
+  parents live in ONE contiguous parent window. The host precomputes the
+  window base per chunk (one small searchsorted), and each grid program
+  DMAs the parent-offset and parent-value slabs at a 128-aligned base.
+- ``ge[i, p] = (slot_i >= off_p)`` is monotone along p; the owning parent
+  of slot i is the last p with ``off_p <= slot_i``: its one-hot is
+  ``ge[:, :-1] & ~ge[:, 1:]`` — pure VPU compares, no gather.
+- Per-slot meta is ONE bf16 matmul on the MXU:
+  ``meta[CH, NC] = onehot[CH, B] @ vals[B, NC]`` (one-hot on the LEFT so
+  the MXU M dimension is the chunk). Every ``vals`` column is bf16-EXACT
+  by construction (small ints, byte decompositions of wide ints — the
+  parent INDEX itself rides as three byte columns — and 3-way bf16
+  splits of f32 depth), and each output element has exactly one nonzero
+  product, so the result is EXACT; byte/split columns recombine to the
+  original values in fused XLA elementwise code outside the kernel.
+- Correctness window: the aligned slab [base, base + B + 128) must cover
+  every parent overlapping the chunk's slots. Zero-count parents can tie
+  arbitrarily many offsets at one slot (alive-mask training buffers), so
+  coverage is data-dependent: the caller checks coverage on device and
+  falls back to the XLA scatter+gather path via ``lax.cond`` when any
+  window overflows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CH = 1024  # slots per grid program
+B = 2048  # guaranteed parent window past the (1024-aligned) slab base
+SLAB = 3072  # parents DMA'd per chunk (1024-aligned slices for Mosaic)
+OLEN = 4096  # offset entries DMA'd (need off[p+1] for the last parent)
+
+# vals column layout (every entry bf16-exact)
+VC_SX0 = 0
+VC_SY0 = 1
+VC_SPAN = 2
+VC_KA0 = 3  # kA bytes (kA < 2^16: bbox cells per parent < sw * sh * 2^?)
+VC_KA1 = 4
+VC_OFF0 = 5  # offset bytes (offsets < 2^24, ops.stream_isect caps)
+VC_OFF1 = 6
+VC_OFF2 = 7
+VC_D0 = 8  # depth 3-way bf16 split (exact f32 reconstruction)
+VC_D1 = 9
+VC_D2 = 10
+VC_P0 = 11  # parent-index bytes (p < 2^24)
+VC_P1 = 12
+VC_P2 = 13
+NC = 16  # padded sublane width
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _kernel(bases_ref, offs_ref, vals_ref, out_ref, obuf, vbuf, sems,
+            vsems):
+    k = pl.program_id(0)
+    base = pl.multiple_of(bases_ref[k], 1024)
+    BS = SLAB
+
+    odma = pltpu.make_async_copy(
+        offs_ref.at[pl.ds(base, OLEN)], obuf, sems)
+    vdma = pltpu.make_async_copy(
+        vals_ref.at[:, pl.ds(base, SLAB)], vbuf, vsems)
+    odma.start()
+    vdma.start()
+    odma.wait()
+    vdma.wait()
+
+    slots = (k * CH + jax.lax.broadcasted_iota(
+        jnp.int32, (CH, 1), 0)).astype(jnp.float32)
+    offs0 = obuf[pl.ds(0, BS)].reshape(1, BS)  # off[p] for slab parents
+    offs1 = obuf[pl.ds(1, BS)].reshape(1, BS)  # off[p + 1]
+    ge0 = slots >= offs0  # [CH, BS], monotone nonincreasing along p
+    ge1 = slots >= offs1
+    onehot = (ge0 & jnp.logical_not(ge1)).astype(jnp.bfloat16)
+
+    # [CH, NC] = onehot[CH, BS] . vals[NC, BS]^T — one-hot on the LEFT
+    # (M = CH fully tiles the MXU); exact: one nonzero product per output
+    out_ref[...] = jax.lax.dot_general(
+        onehot, vbuf[...].astype(jnp.bfloat16),
+        ((((1,), (1,))), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split3(x):
+    """f32 -> 3 bf16-exact f32 parts with (p0 + p1) + p2 == x exactly."""
+    p0 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - p0
+    p1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    p2 = r1 - p1  # <= 8 significant bits left: bf16-exact
+    return p0, p1, p2
+
+
+def _bytes3(x):
+    """Exact-int f32 < 2^24 -> 3 bf16-exact byte columns."""
+    b01 = x - 65536.0 * jnp.floor(x / 65536.0)
+    return (
+        b01 - 256.0 * jnp.floor(b01 / 256.0),
+        jnp.floor(b01 / 256.0),
+        jnp.floor(x / 65536.0),
+    )
+
+
+def build_vals(sx0, sy0, span, ka, offsets, depth):
+    """[MP] parent columns -> [NC, MP_pad] bf16-exact value table
+    (parents on lanes)."""
+    MP = sx0.shape[0]
+    off0, off1, off2 = _bytes3(offsets.astype(jnp.float32))
+    p0, p1, p2 = _bytes3(jnp.arange(MP, dtype=jnp.float32))
+    kaf = ka.astype(jnp.float32)
+    d0, d1, d2 = _split3(depth)
+    cols = [
+        sx0.astype(jnp.float32),
+        sy0.astype(jnp.float32),
+        span.astype(jnp.float32),
+        kaf - 256.0 * jnp.floor(kaf / 256.0),
+        jnp.floor(kaf / 256.0),
+        off0, off1, off2,
+        d0, d1, d2,
+        p0, p1, p2,
+    ]
+    vals = jnp.stack(cols + [jnp.zeros((MP,), jnp.float32)] * (
+        NC - len(cols)), axis=0)
+    pad = (-MP) % 1024 + SLAB
+    return jnp.pad(vals, ((0, 0), (0, pad)))
+
+
+def expand_parent_meta(vals, offs_pad, pbases, exp_cap):
+    """vals [NC, MP_pad] (build_vals), offs_pad [>= MP + B + 384] f32
+    inclusive offset table padded with 2^24, pbases [nb] int32 128-aligned
+    window bases -> [exp_cap, NC] per-slot meta (columns VC_*)."""
+    nb = -(-exp_cap // CH)
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # offs_pad
+                pl.BlockSpec(memory_space=pl.ANY),  # vals
+            ],
+            out_specs=pl.BlockSpec((CH, NC), lambda k, b: (k, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((OLEN,), jnp.float32),
+                pltpu.VMEM((NC, SLAB), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb * CH, NC), jnp.float32),
+        interpret=_use_interpret(),
+    )(pbases, offs_pad, vals)
+    return out[:exp_cap]
+
+
+def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
+                         exp_cap):
+    """Drop-in replacement for the XLA expansion + meta gather of
+    ops.stream_isect: returns (sx0_s, sy0_s, span_s, ka_s, off_s,
+    depth_s, g_of_s) per slot. Falls back to the scatter+gather path via
+    ``lax.cond`` when a parent window overflows the kernel's slab (only
+    possible with very long zero-count parent runs interleaved between
+    live ones). Slots at/after n_isect may differ between the two paths
+    (both are masked downstream via slot_ok/sorted_ok); span is clamped
+    >= 1 so the modulo decode is always defined."""
+    MP = sx0.shape[0]
+    nb = -(-exp_cap // CH)
+    total = offsets[-1] + counts[-1]
+    offs_incl = jnp.concatenate(
+        [offsets.astype(jnp.float32),
+         total.astype(jnp.float32).reshape(1)])
+    pad = (-MP) % 1024 + OLEN + 1024
+    offs_pad = jnp.concatenate(
+        [offs_incl, jnp.full((pad,), float(1 << 24), jnp.float32)])
+    chunk_starts = (jnp.arange(nb, dtype=jnp.int32) * CH).astype(
+        jnp.float32)
+    pb = jnp.searchsorted(offs_incl, chunk_starts, side="right") - 1
+    pb = jnp.maximum(pb, 0).astype(jnp.int32)
+    pbases = (pb // 1024) * 1024
+    # coverage: the aligned slab [base, base + SLAB) must reach past
+    # every parent whose run intersects the chunk's slots
+    slab_end = jnp.minimum(pbases + SLAB, MP)
+    ok = jnp.all(offs_pad[slab_end] >= (chunk_starts + CH))
+
+    def kernel_path(_):
+        vals = build_vals(sx0, sy0, span, ka, offsets, depth)
+        m = expand_parent_meta(vals, offs_pad, pbases, exp_cap)
+        ka_s = m[:, VC_KA0] + 256.0 * m[:, VC_KA1]
+        off_s = (m[:, VC_OFF0] + 256.0 * m[:, VC_OFF1]
+                 + 65536.0 * m[:, VC_OFF2])
+        depth_s = (m[:, VC_D0] + m[:, VC_D1]) + m[:, VC_D2]
+        p_s = m[:, VC_P0] + 256.0 * m[:, VC_P1] + 65536.0 * m[:, VC_P2]
+        return (m[:, VC_SX0].astype(jnp.int32),
+                m[:, VC_SY0].astype(jnp.int32),
+                jnp.maximum(m[:, VC_SPAN].astype(jnp.int32), 1),
+                ka_s.astype(jnp.int32),
+                off_s.astype(jnp.int32),
+                depth_s,
+                jnp.clip(p_s.astype(jnp.int32), 0, MP - 1))
+
+    def xla_path(_):
+        buckets = jnp.zeros((exp_cap,), jnp.int32)
+        upd = jnp.ones_like(offsets[1:], dtype=jnp.int32)
+        buckets = buckets.at[jnp.clip(offsets[1:], 0, exp_cap - 1)].add(
+            jnp.where(offsets[1:] < exp_cap, upd, 0))
+        g_of_s = jnp.cumsum(buckets)
+        meta = jnp.stack(
+            [
+                sx0.astype(jnp.float32), sy0.astype(jnp.float32),
+                span.astype(jnp.float32), ka.astype(jnp.float32),
+                offsets.astype(jnp.float32), depth,
+                jnp.zeros((MP,), jnp.float32),
+                jnp.zeros((MP,), jnp.float32),
+            ],
+            axis=1,
+        )
+        m = meta[g_of_s]
+        return (m[:, 0].astype(jnp.int32), m[:, 1].astype(jnp.int32),
+                jnp.maximum(m[:, 2].astype(jnp.int32), 1),
+                m[:, 3].astype(jnp.int32),
+                m[:, 4].astype(jnp.int32), m[:, 5], g_of_s)
+
+    return jax.lax.cond(ok, kernel_path, xla_path, operand=None)

@@ -354,42 +354,34 @@ def build_stream_intersections(
     n_isect = offsets[-1] + counts[-1]
     overflow = n_isect > EXP
 
-    # 2. expansion + 3. ONE meta row gather. All meta values are exact in
-    # f32 (supertile coords < 2^7, offsets < 2^24), so depth rides along in
-    # the same table and the whole thing is a single rate-bound gather.
-    # (Measured r3 dead end: reconstructing per-slot meta gather-free via
-    # int32 DELTA rows scattered at run starts + a Pallas multi-row cumsum
-    # is bit-exact but 2.6x SLOWER — XLA scatter costs ~8 ns/ELEMENT, so
-    # the [MP, 8] row scatter alone is 64 ms vs the 15 ms gather. Gathers
+    # 2.+3. expansion + per-slot meta: a Pallas segmented-broadcast kernel
+    # (ops.seg_broadcast) replaces the marker scatter + cumsum + [EXP, 8]
+    # row gather (~24 ms of rate-bound glue at 1M gaussians, the largest
+    # single cost of the isect build) with one exact one-hot matmul per
+    # slot chunk; it falls back to the scatter+gather path via lax.cond
+    # when zero-count parent runs overflow its parent window.
+    # (Measured r3 dead end kept for the record: per-slot meta via int32
+    # DELTA rows scattered at run starts + a Pallas multi-row cumsum is
+    # bit-exact but 2.6x SLOWER — XLA scatter costs ~8 ns/ELEMENT. Gathers
     # are per-ROW; scatters per-element: only scatter narrow data.)
-    g_of_s = _expand_index(offsets, EXP)  # [EXP] slot -> parent index
-    meta = jnp.stack(
-        [
-            sx0_p.astype(jnp.float32),
-            sy0_p.astype(jnp.float32),
-            span_p.astype(jnp.float32),
-            offsets.astype(jnp.float32),
-            depth_p,
-            kA.astype(jnp.float32),
-            jnp.zeros((MP,), jnp.float32),
-            jnp.zeros((MP,), jnp.float32),
-        ],
-        axis=1,
-    )  # [MP, 8]
-    meta_s = meta[g_of_s]  # [EXP, 8]
+    from splat_one_tpu.ops import seg_broadcast
+
+    (sx0_s, sy0_s, span_s, kA_s, off_s, depth_s, g_of_s) = (
+        seg_broadcast.expand_meta_streamed(
+            sx0_p, sy0_p, span_p, kA, offsets, depth_p, counts, EXP
+        )
+    )
     slot_ids = jnp.arange(EXP, dtype=jnp.int32)
     slot_ok = slot_ids < jnp.minimum(n_isect, EXP)
     # absolute bbox-enumeration index (slab path starts runs at kA)
-    local = slot_ids - meta_s[:, 3].astype(jnp.int32) + (
-        meta_s[:, 5].astype(jnp.int32)
-    )
-    sxx = meta_s[:, 2].astype(jnp.int32)
+    local = slot_ids - off_s + kA_s
+    sxx = jnp.maximum(span_s, 1)
     lx = local % sxx
     ly = local // sxx
-    st_x = meta_s[:, 0].astype(jnp.int32) + lx
+    st_x = sx0_s + lx
     if camera_model == "spherical" and not seg_spherical:
         st_x = jnp.mod(st_x, sw)  # segmented parents are pre-unwrapped
-    st_y = meta_s[:, 1].astype(jnp.int32) + ly
+    st_y = sy0_s + ly
     # real flat (camera, gaussian) id of each slot (parents are interleaved
     # as 2*g + segment in the segmented-spherical path)
     g_real_s = g_of_s // 2 if seg_spherical else g_of_s
@@ -399,7 +391,6 @@ def build_stream_intersections(
         st_id = st_id - st_lo
         slot_ok &= (st_id >= 0) & (st_id < CS)
     st_id = jnp.where(slot_ok, st_id, CS).astype(jnp.int32)
-    depth_s = meta_s[:, 4]
 
     # 4. ONE stable two-key sort: (supertile, depth), payload = gaussian.
     # Stability breaks depth ties by expansion order == original index order

@@ -195,14 +195,40 @@ def incremental_reconstruct(
         jax.clear_caches()  # bound XLA-CPU executable/mmap growth
         med_res = _median_residual(rec, bearings, tracks)
         rec.report["median_residual"] = med_res
-        key_k = (len(rec.poses), -med_res)
+        degen = _degenerate_geometry(rec)
+        rec.report["degenerate"] = degen
+        # a collapsed (pure-rotation-like) solution is SELF-CONSISTENT —
+        # every camera at one center, points pushed toward infinity,
+        # residuals small (r4 200-image spiral: center spread 0.5% of
+        # scene depth, 200/200 "registered") — so completeness + residual
+        # alone cannot reject it; the geometry test must outrank both
+        key_k = (not degen, len(rec.poses), -med_res)
         if best is None or key_k > best_key:
             best, best_key = rec, key_k
-        if (len(rec.poses) >= 0.9 * max(n_with_obs, 1)
+        if (not degen
+                and len(rec.poses) >= 0.9 * max(n_with_obs, 1)
                 and med_res <= 0.2 * cfg.outlier_threshold):
             break
     best.report["init_attempts"] = attempts
     return best
+
+
+def _degenerate_geometry(rec: Reconstruction,
+                         spread_frac: float = 0.02) -> bool:
+    """Pure-rotation collapse test: mean camera-center spread below
+    ``spread_frac`` of the median point depth means the 'multi-view'
+    solution is effectively a single-center panorama (small-baseline
+    captures can fall into this BA minimum; the r4 200-image spiral
+    measured spread/depth ~ 0.005 collapsed vs ~ 0.5 healthy)."""
+    if len(rec.poses) < 3 or not rec.points:
+        return False
+    C = np.stack(
+        [-_R_of(p[:3]).T @ p[3:] for p in rec.poses.values()]
+    )
+    spread = float(np.linalg.norm(C - C.mean(0), axis=1).mean())
+    P = np.stack(list(rec.points.values()))
+    depth = float(np.median(np.linalg.norm(P - C.mean(0), axis=1)))
+    return spread < spread_frac * max(depth, 1e-12)
 
 
 def _median_residual(rec: Reconstruction, bearings, tracks) -> float:
@@ -253,15 +279,38 @@ def _reconstruct_attempt(
                 out.append((tid, tr[i], tr[j]))
         return out
 
-    # score ALL leading candidates and open with the best (inliers x
-    # median-parallax), not the first viable one: the whole incremental
-    # build is chaotic in the init pair (measured r2/r3), so the opening
-    # two-view geometry gets a large hypothesis budget and a real score
-    best = None
-    best_score = -1.0
-    for (i, j), n_inl in sorted(
-        pair_inliers.items(), key=lambda kv: -kv[1]
-    )[:10]:
+    # score ALL leading candidates and open with the best, not the first
+    # viable one: the whole incremental build is chaotic in the init pair
+    # (measured r2/r3), so the opening two-view geometry gets a large
+    # hypothesis budget and a real score. The candidate pool mixes the
+    # top pairs by inlier count with the top WIDE-BASELINE pairs (low
+    # neighbor-set Jaccard in the match graph — loop closures / revisit
+    # pairs): sequential captures put all the match mass on tiny-baseline
+    # neighbor pairs, and an init there can cascade into the
+    # pure-rotation collapse the r4 200-image spiral exposed (all camera
+    # centers within 0.5% of the scene depth). Retry attempts alternate
+    # narrow / wide so attempt 0 keeps the r3 ring behavior exactly.
+    neighbors: Dict[int, set] = {}
+    for (i, j) in pair_inliers:
+        neighbors.setdefault(i, set()).add(j)
+        neighbors.setdefault(j, set()).add(i)
+
+    def jaccard(i, j):
+        a, b = neighbors.get(i, set()), neighbors.get(j, set())
+        inter = len(a & b)
+        union = len(a | b) or 1
+        return inter / union
+
+    by_inl = sorted(pair_inliers.items(), key=lambda kv: -kv[1])
+    narrow_cands = [ij for ij, _ in by_inl[:10]]
+    wide_cands = [
+        ij for ij, _ in by_inl
+        if ij not in narrow_cands[:10] and jaccard(*ij) <= 0.4
+    ][:10]
+    viable_narrow = []
+    viable_wide = []
+    for (i, j) in narrow_cands + wide_cands:
+        n_inl = pair_inliers[(i, j)]
         com = common_tracks(i, j)
         if len(com) < cfg.init_min_inliers:
             continue
@@ -296,20 +345,28 @@ def _reconstruct_attempt(
         med_ang = np.degrees(np.arccos(np.clip(np.median(cosang), -1, 1)))
         if med_ang < cfg.min_parallax_deg:
             continue
-        if init_skip > 0:
-            init_skip -= 1
-            continue
         # rank by RANSAC inlier count (parallax is a gate, not a weight:
         # weighting by angle picked far low-overlap pairs on the ring
         # scene and regressed it 10x)
-        score = float(res.n_inliers)
-        if score > best_score:
-            best_score = score
-            best = (i, j, com, np.asarray(R), np.asarray(t), inl, X)
-    if best is None:
+        entry = (float(res.n_inliers),
+                 (i, j, com, np.asarray(R), np.asarray(t), inl, X))
+        if (i, j) in narrow_cands:
+            viable_narrow.append(entry)
+        else:
+            viable_wide.append(entry)
+    viable_narrow.sort(key=lambda e: -e[0])
+    viable_wide.sort(key=lambda e: -e[0])
+    # attempt sequence: best-narrow, best-wide, 2nd-narrow, 2nd-wide, ...
+    seq = []
+    for a, b in zip(viable_narrow, viable_wide):
+        seq += [a, b]
+    longer = (viable_narrow if len(viable_narrow) > len(viable_wide)
+              else viable_wide)
+    seq += longer[min(len(viable_narrow), len(viable_wide)):]
+    if init_skip >= len(seq):
         return Reconstruction({}, {}, {"error": "no valid init pair"})
 
-    i0, j0, com, R, t, inl, X = best
+    i0, j0, com, R, t, inl, X = seq[init_skip][1]
     poses: Dict[int, np.ndarray] = {
         i0: np.zeros(6, np.float32),
         j0: np.concatenate([_rvec_from_R(R), t]).astype(np.float32),

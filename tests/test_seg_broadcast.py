@@ -1,0 +1,97 @@
+"""ops.seg_broadcast: segmented parent->slot broadcast kernel.
+
+The kernel path must be bit-exact vs the XLA scatter+cumsum+gather path
+(the lax.cond fallback) on ragged random runs, including zero-count
+parents and slots beyond n_isect; the overflow guard must reroute to the
+fallback when zero-count runs exceed the parent window."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from splat_one_tpu.ops import seg_broadcast as SB  # noqa: E402
+
+
+def _random_problem(rng, mp, zero_frac=0.3, max_count=9):
+    counts = rng.integers(1, max_count, size=mp).astype(np.int32)
+    counts[rng.uniform(size=mp) < zero_frac] = 0
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    sx0 = rng.integers(0, 40, mp).astype(np.int32)
+    sy0 = rng.integers(0, 23, mp).astype(np.int32)
+    span = np.maximum(rng.integers(1, 6, mp), 1).astype(np.int32)
+    ka = rng.integers(0, 1000, mp).astype(np.int32)
+    depth = rng.normal(size=mp).astype(np.float32) * 37.3 + 5
+    return sx0, sy0, span, ka, offsets, depth, counts
+
+
+def _xla_reference(sx0, sy0, span, ka, offsets, depth, counts, exp_cap):
+    mp = len(sx0)
+    buckets = np.zeros(exp_cap, np.int64)
+    for off in offsets[1:]:
+        if off < exp_cap:
+            buckets[off] += 1
+    g = np.cumsum(buckets)
+    return (sx0[g], sy0[g], span[g], ka[g], offsets[g], depth[g], g)
+
+
+@pytest.mark.parametrize("zero_frac", [0.0, 0.35])
+def test_kernel_matches_reference(zero_frac):
+    rng = np.random.default_rng(3)
+    mp = 3000
+    prob = _random_problem(rng, mp, zero_frac=zero_frac)
+    n_isect = int(prob[4][-1] + prob[6][-1])
+    exp_cap = -(-int(n_isect * 1.1) // 128) * 128
+    got = jax.jit(SB.expand_meta_streamed, static_argnums=(7,))(
+        *[jnp.asarray(a) for a in prob], exp_cap)
+    ref = _xla_reference(*[np.asarray(a) for a in prob], exp_cap)
+    got = [np.asarray(g) for g in got]
+    # compare only live slots (dead slots are masked downstream; the two
+    # paths differ there by design)
+    for gi, ri, name in zip(
+            got, ref,
+            ["sx0", "sy0", "span", "ka", "off", "depth", "parent"]):
+        g_live = gi[:n_isect]
+        r_live = ri[:n_isect]
+        assert np.array_equal(g_live, r_live), (
+            name, np.flatnonzero(g_live != r_live)[:5])
+
+
+def test_overflow_falls_back():
+    """A zero-count run longer than the parent window must reroute to the
+    XLA path (the cond guard) and still produce exact results."""
+    rng = np.random.default_rng(4)
+    mp = 8000
+    sx0, sy0, span, ka, offsets, depth, counts = _random_problem(
+        rng, mp, zero_frac=0.0, max_count=4)
+    # carve a zero-run longer than the slab right in the middle
+    counts[1000:1000 + SB.B + 512] = 0
+    offsets = np.concatenate(
+        [[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    n_isect = int(offsets[-1] + counts[-1])
+    exp_cap = -(-int(n_isect * 1.1) // 128) * 128
+    got = SB.expand_meta_streamed(
+        *[jnp.asarray(a) for a in
+          (sx0, sy0, span, ka, offsets, depth, counts)], exp_cap)
+    ref = _xla_reference(sx0, sy0, span, ka, offsets, depth, counts,
+                         exp_cap)
+    for gi, ri in zip(got, ref):
+        assert np.array_equal(np.asarray(gi)[:n_isect], ri[:n_isect])
+
+
+def test_depth_bit_exact():
+    """The 3-way bf16 split must reconstruct f32 depth EXACTLY (it is a
+    sort key; any rounding would reorder near-ties vs the oracle)."""
+    rng = np.random.default_rng(5)
+    mp = 2000
+    prob = list(_random_problem(rng, mp, zero_frac=0.1))
+    # adversarial depths: full f32 mantissas, wide exponent range
+    prob[5] = (rng.normal(size=mp).astype(np.float32)
+               * np.exp2(rng.integers(-20, 20, mp)).astype(np.float32))
+    n_isect = int(prob[4][-1] + prob[6][-1])
+    exp_cap = -(-int(n_isect * 1.1) // 128) * 128
+    got = SB.expand_meta_streamed(
+        *[jnp.asarray(a) for a in prob], exp_cap)
+    ref = _xla_reference(*[np.asarray(a) for a in prob], exp_cap)
+    assert np.array_equal(np.asarray(got[5])[:n_isect], ref[5][:n_isect])
