@@ -266,7 +266,7 @@ def match_features(
     )
     descs = [feats[n]["descriptors"] for n in images]
     valids = [feats[n]["valid"] for n in images]
-    raw = M.match_pairs_brute_force(
+    raw = M.match_pairs_batched(
         descs, valids, pairs, ratio=lowes_ratio, progress_callback=progress
     )
     # resolution-aware verification threshold (same cure as reconstruct's
@@ -276,14 +276,12 @@ def match_features(
     ang = [float(feats[n]["angular_res"]) for n in images
            if "angular_res" in feats[n]]
     thr_match = min(1.6 * float(np.median(ang)), 0.008) if ang else 0.008
-    key = jax.random.PRNGKey(0)
+    bearings = [feats[n]["bearings"] for n in images]
+    filtered = M.robust_filter_matches_batched(
+        jax.random.PRNGKey(0), raw, bearings, threshold=thr_match,
+    )
     out = {}
-    for (i, j), m in raw.items():
-        key, k1 = jax.random.split(key)
-        fm = M.robust_filter_matches(
-            k1, m, feats[images[i]]["bearings"],
-            feats[images[j]]["bearings"], threshold=thr_match,
-        )
+    for (i, j), fm in filtered.items():
         if len(fm):
             out[f"{images[i]}|{images[j]}"] = fm.tolist()
     os.makedirs(os.path.join(workdir, "matches"), exist_ok=True)

@@ -171,17 +171,17 @@ def expand_parent_meta(vals, offs_pad, pbases, exp_cap):
     return out[:exp_cap]
 
 
-def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
-                         exp_cap):
-    """Drop-in replacement for the XLA expansion + meta gather of
-    ops.stream_isect: returns (sx0_s, sy0_s, span_s, ka_s, off_s,
-    depth_s, g_of_s) per slot. Falls back to the scatter+gather path via
-    ``lax.cond`` when a parent window overflows the kernel's slab (only
-    possible with very long zero-count parent runs interleaved between
-    live ones). Slots at/after n_isect may differ between the two paths
-    (both are masked downstream via slot_ok/sorted_ok); span is clamped
-    >= 1 so the modulo decode is always defined."""
-    MP = sx0.shape[0]
+def coverage_windows(offsets, counts, exp_cap):
+    """Per-chunk parent-window bases + coverage flags.
+
+    Returns (okv [nb] bool, pbases [nb] int32, offs_pad f32). A chunk is
+    covered when its aligned parent slab [base, base + SLAB) reaches past
+    every LIVE parent whose run intersects the chunk's slots: required
+    coverage is ``min(chunk_start + CH, total)`` — slots at/after
+    ``total`` (= n_isect; the static-capacity tail that always exists)
+    carry no live parent and are masked downstream, so they never
+    constrain the window."""
+    MP = offsets.shape[0]
     nb = -(-exp_cap // CH)
     total = offsets[-1] + counts[-1]
     offs_incl = jnp.concatenate(
@@ -195,10 +195,28 @@ def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
     pb = jnp.searchsorted(offs_incl, chunk_starts, side="right") - 1
     pb = jnp.maximum(pb, 0).astype(jnp.int32)
     pbases = (pb // 1024) * 1024
-    # coverage: the aligned slab [base, base + SLAB) must reach past
-    # every parent whose run intersects the chunk's slots
     slab_end = jnp.minimum(pbases + SLAB, MP)
-    ok = jnp.all(offs_pad[slab_end] >= (chunk_starts + CH))
+    need = jnp.minimum(chunk_starts + CH, total.astype(jnp.float32))
+    okv = offs_pad[slab_end] >= need
+    return okv, pbases, offs_pad
+
+
+def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
+                         exp_cap, force_path=None):
+    """Drop-in replacement for the XLA expansion + meta gather of
+    ops.stream_isect: returns (sx0_s, sy0_s, span_s, ka_s, off_s,
+    depth_s, g_of_s) per slot. Falls back to the scatter+gather path via
+    ``lax.cond`` when a parent window overflows the kernel's slab (only
+    possible with very long zero-count parent runs interleaved between
+    live ones). Slots at/after n_isect may differ between the two paths
+    (both are masked downstream via slot_ok/sorted_ok); span is clamped
+    >= 1 so the modulo decode is always defined.
+
+    ``force_path`` (static; None | 'kernel' | 'xla') bypasses the cond —
+    tests use 'kernel' to prove the Pallas path itself is exact."""
+    MP = sx0.shape[0]
+    okv, pbases, offs_pad = coverage_windows(offsets, counts, exp_cap)
+    ok = jnp.all(okv)
 
     def kernel_path(_):
         vals = build_vals(sx0, sy0, span, ka, offsets, depth)
@@ -238,4 +256,8 @@ def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
                 m[:, 3].astype(jnp.int32),
                 m[:, 4].astype(jnp.int32), m[:, 5], g_of_s)
 
+    if force_path == "kernel":
+        return kernel_path(None)
+    if force_path == "xla":
+        return xla_path(None)
     return jax.lax.cond(ok, kernel_path, xla_path, operand=None)

@@ -205,6 +205,143 @@ def match_pairs_brute_force(
     return out
 
 
+def match_pairs_batched(
+    descriptors: Sequence[np.ndarray],  # per-image [K, D]
+    valids: Sequence[np.ndarray],
+    pairs: Sequence[Tuple[int, int]],
+    ratio: float = 0.8,
+    batch_pairs: int = 16,
+    progress_callback=None,
+):
+    """Batched brute-force matching: P pairs per device call.
+
+    ``match_pairs_brute_force`` dispatches ONE small jitted call per pair;
+    through the axon tunnel each host->device round-trip costs ~28 ms, so
+    at 60 images (~1,770 pairs) dispatch alone is ~50 s and the matching
+    stage measured 1,073 s (BASELINE.md round 4). Stacking P pairs into
+    fixed [P, K, D] tensors and vmapping the mutual-NN + ratio test
+    amortizes the dispatch ~P-fold and feeds the MXU one large batched
+    matmul instead of many small ones (reference analog: OpenSfM's
+    process-parallel match_arguments, app/feature_matching.py:68-77).
+
+    Semantics are identical to match_pairs_brute_force (same
+    match_descriptors math, same output dict)."""
+    if not len(pairs):
+        return {}
+    M_img = len(descriptors)
+    K = max(d.shape[0] for d in descriptors)
+    D = max((d.shape[1] for d in descriptors if d.ndim == 2), default=128)
+    desc_all = np.zeros((M_img, K, D), np.float32)
+    val_all = np.zeros((M_img, K), bool)
+    for i, (d, v) in enumerate(zip(descriptors, valids)):
+        if len(d):
+            desc_all[i, : d.shape[0], : d.shape[1]] = d
+            val_all[i, : len(v)] = v
+    desc_all = jnp.asarray(desc_all)
+    val_all = jnp.asarray(val_all)
+
+    @partial(jax.jit, static_argnames=("ratio",))
+    def batch_match(i_idx, j_idx, ratio):
+        d1 = desc_all[i_idx]
+        d2 = desc_all[j_idx]
+        v1 = val_all[i_idx]
+        v2 = val_all[j_idx]
+        return jax.vmap(
+            lambda a, b, va, vb: match_descriptors(a, b, va, vb,
+                                                   ratio=ratio)
+        )(d1, d2, v1, v2)
+
+    out = {}
+    P = max(1, int(batch_pairs))
+    for s in range(0, len(pairs), P):
+        chunk = list(pairs[s: s + P])
+        npad = P - len(chunk)
+        padded = chunk + [chunk[-1]] * npad  # fixed shape: repeat last
+        i_idx = jnp.asarray([p[0] for p in padded], jnp.int32)
+        j_idx = jnp.asarray([p[1] for p in padded], jnp.int32)
+        idx2_b, ok_b = batch_match(i_idx, j_idx, ratio)
+        idx2_b = np.asarray(idx2_b)
+        ok_b = np.asarray(ok_b)
+        for n, (i, j) in enumerate(chunk):
+            m1 = np.nonzero(ok_b[n])[0]
+            out[(i, j)] = np.stack([m1, idx2_b[n][m1]], axis=-1)
+        if progress_callback is not None:
+            progress_callback(min(s + P, len(pairs)), len(pairs))
+    return out
+
+
+def robust_filter_matches_batched(
+    key,
+    matches: dict,  # {(i, j): [M, 2]}
+    bearings: Sequence[np.ndarray],  # per image [K, 3]
+    threshold: float = 0.008,
+    min_matches: int = 16,
+    min_inliers: int = 20,
+    target_err_elems: int = 1 << 26,
+):
+    """Batched two-view geometric verification: P pairs per device call.
+
+    Same decision rule as ``robust_filter_matches`` (5-pt RANSAC, n_hyp
+    1024, reject pairs with < min_inliers consensus), but pairs are
+    bucketed by padded match count and vmapped so one device call verifies
+    a whole batch. Per-pair PRNG keys are split from ``key`` in pair-sorted
+    order, so results are deterministic for a given pair set (they differ
+    from the sequential path's draws, which is fine — both are valid RANSAC
+    runs). ``target_err_elems`` caps the batched [P, n_hyp*10, cap]
+    residual tensor to bound memory."""
+    from splat_one_tpu.sfm.geometry import ransac_essential
+
+    N_HYP = 1024
+    items = sorted(matches.items())
+    keys = jax.random.split(key, len(items) + 1)[1:]
+    out = {}
+    # bucket by power-of-2 padded count (caps recompiles like the
+    # sequential path) and batch within each bucket
+    buckets = {}
+    for n, ((i, j), m) in enumerate(items):
+        if len(m) < min_matches:
+            out[(i, j)] = m[:0]
+            continue
+        cap = max(64, 1 << (len(m) - 1).bit_length())
+        buckets.setdefault(cap, []).append((n, (i, j), m))
+
+    @partial(jax.jit, static_argnames=("thr",))
+    def batch_verify(ks, b1, b2, valid, thr):
+        res = jax.vmap(
+            lambda k, a, b, v: ransac_essential(
+                k, a, b, v, threshold=thr, solver="5pt", n_hyp=N_HYP)
+        )(ks, b1, b2, valid)
+        return res.n_inliers, res.inliers
+
+    for cap, entries in sorted(buckets.items()):
+        # ~10 candidate Es per 5-pt hypothesis drive the residual tensor
+        P = max(1, min(64, target_err_elems // (N_HYP * 10 * cap)))
+        for s in range(0, len(entries), P):
+            chunk = entries[s: s + P]
+            npad = P - len(chunk)
+            chunk_p = chunk + [chunk[-1]] * npad
+            b1 = np.tile(np.array([0.0, 0.0, 1.0], np.float32),
+                         (len(chunk_p), cap, 1))
+            b2 = b1.copy()
+            valid = np.zeros((len(chunk_p), cap), bool)
+            for n, (_, (i, j), m) in enumerate(chunk_p):
+                b1[n, : len(m)] = bearings[i][m[:, 0]]
+                b2[n, : len(m)] = bearings[j][m[:, 1]]
+                valid[n, : len(m)] = True
+            ks = jnp.stack([keys[e[0]] for e in chunk_p])
+            n_inl, inl = batch_verify(
+                ks, jnp.asarray(b1), jnp.asarray(b2),
+                jnp.asarray(valid), float(threshold))
+            n_inl = np.asarray(n_inl)
+            inl = np.asarray(inl)
+            for n, (_, pair, m) in enumerate(chunk):
+                if int(n_inl[n]) < min_inliers:
+                    out[pair] = m[:0]
+                else:
+                    out[pair] = m[inl[n][: len(m)]]
+    return out
+
+
 def robust_filter_matches(
     key,
     matches: np.ndarray,  # [M, 2]

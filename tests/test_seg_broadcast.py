@@ -43,8 +43,17 @@ def test_kernel_matches_reference(zero_frac):
     prob = _random_problem(rng, mp, zero_frac=zero_frac)
     n_isect = int(prob[4][-1] + prob[6][-1])
     exp_cap = -(-int(n_isect * 1.1) // 128) * 128
-    got = jax.jit(SB.expand_meta_streamed, static_argnums=(7,))(
-        *[jnp.asarray(a) for a in prob], exp_cap)
+    jprob = [jnp.asarray(a) for a in prob]
+    # the guard MUST resolve True on this headroom-sized problem (the
+    # production shape: exp_cap > n_isect) — tail chunks past n_isect are
+    # covered by definition. This is what round 4 got wrong: the guard
+    # failed on every tail chunk and the cond silently took the fallback,
+    # so "kernel parity" compared the fallback against itself.
+    okv, _, _ = SB.coverage_windows(jprob[4], jprob[6], exp_cap)
+    assert bool(np.asarray(okv).all()), np.flatnonzero(~np.asarray(okv))
+    # force the Pallas path (no cond) so kernel bugs cannot hide
+    got = jax.jit(SB.expand_meta_streamed, static_argnums=(7, 8))(
+        *jprob, exp_cap, "kernel")
     ref = _xla_reference(*[np.asarray(a) for a in prob], exp_cap)
     got = [np.asarray(g) for g in got]
     # compare only live slots (dead slots are masked downstream; the two
@@ -56,6 +65,29 @@ def test_kernel_matches_reference(zero_frac):
         r_live = ri[:n_isect]
         assert np.array_equal(g_live, r_live), (
             name, np.flatnonzero(g_live != r_live)[:5])
+    # and the production entry (cond) must agree with the forced path
+    prod = jax.jit(SB.expand_meta_streamed, static_argnums=(7,))(
+        *jprob, exp_cap)
+    for gi, pi in zip(got, prod):
+        assert np.array_equal(gi[:n_isect], np.asarray(pi)[:n_isect])
+
+
+def test_tail_chunks_count_as_covered():
+    """exp_cap >> n_isect (the normal StreamCaps headroom case) must NOT
+    fail coverage: chunks whose slots lie entirely past n_isect have no
+    live parents."""
+    rng = np.random.default_rng(11)
+    prob = _random_problem(rng, 2000, zero_frac=0.2)
+    n_isect = int(prob[4][-1] + prob[6][-1])
+    exp_cap = -(-int(n_isect * 3.0) // 1024) * 1024  # huge tail
+    okv, _, _ = SB.coverage_windows(
+        jnp.asarray(prob[4]), jnp.asarray(prob[6]), exp_cap)
+    assert bool(np.asarray(okv).all())
+    got = SB.expand_meta_streamed(
+        *[jnp.asarray(a) for a in prob], exp_cap)
+    ref = _xla_reference(*[np.asarray(a) for a in prob], exp_cap)
+    for gi, ri in zip(got, ref):
+        assert np.array_equal(np.asarray(gi)[:n_isect], ri[:n_isect])
 
 
 def test_overflow_falls_back():
@@ -71,6 +103,9 @@ def test_overflow_falls_back():
         [[0], np.cumsum(counts)[:-1]]).astype(np.int32)
     n_isect = int(offsets[-1] + counts[-1])
     exp_cap = -(-int(n_isect * 1.1) // 128) * 128
+    okv, _, _ = SB.coverage_windows(
+        jnp.asarray(offsets), jnp.asarray(counts), exp_cap)
+    assert not bool(np.asarray(okv).all())  # guard must trip
     got = SB.expand_meta_streamed(
         *[jnp.asarray(a) for a in
           (sx0, sy0, span, ka, offsets, depth, counts)], exp_cap)

@@ -98,6 +98,48 @@ class TestPipeline:
         long = [t for t in tracks if len(t) == 4]
         assert len(long) > 50
 
+    def test_batched_matching_equals_sequential(self):
+        """match_pairs_batched must reproduce match_pairs_brute_force
+        exactly (same math, batched dispatch), including ragged K."""
+        poses, X, bearings, descs, valids = synth_multiview(5, 120)
+        # make image 2 ragged: fewer features than the rest
+        descs[2] = descs[2][:90]
+        valids[2] = valids[2][:90]
+        pairs = M.pairs_to_match(5)
+        seq = M.match_pairs_brute_force(descs, valids, pairs)
+        for bp in (3, 16):  # non-divisor and larger-than-set batch
+            bat = M.match_pairs_batched(descs, valids, pairs,
+                                        batch_pairs=bp)
+            assert set(bat) == set(seq)
+            for p in seq:
+                assert np.array_equal(bat[p], seq[p]), p
+
+    def test_batched_verification_filters_outliers(self):
+        """Batched RANSAC verification keeps geometric inliers and drops
+        planted outliers, with the same accept/reject rule as the
+        sequential path."""
+        poses, X, bearings, descs, valids = synth_multiview(4, 150)
+        pairs = M.pairs_to_match(4)
+        raw = M.match_pairs_batched(descs, valids, pairs)
+        # plant gross outliers in one pair
+        rng = np.random.default_rng(7)
+        key_pair = (0, 1)
+        m = raw[key_pair]
+        bad = np.stack([rng.permutation(150)[:25],
+                        rng.permutation(150)[:25]], axis=-1)
+        raw[key_pair] = np.concatenate([m, bad])
+        filt = M.robust_filter_matches_batched(
+            jax.random.PRNGKey(0), raw, bearings, threshold=0.008)
+        fm = filt[key_pair]
+        assert len(fm) >= 0.8 * len(m)
+        good = (fm[:, 0] == fm[:, 1]).mean()
+        assert good > 0.95
+        # tiny pairs are rejected outright (min_matches rule)
+        raw2 = {(0, 1): raw[key_pair][:5]}
+        filt2 = M.robust_filter_matches_batched(
+            jax.random.PRNGKey(0), raw2, bearings)
+        assert len(filt2[(0, 1)]) == 0
+
     @pytest.mark.slow
     def test_incremental_reconstruction(self):
         poses_gt, X, bearings, descs, valids = synth_multiview(8, 300)
