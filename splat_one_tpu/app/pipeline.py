@@ -85,6 +85,13 @@ def detect_features(
     contrast_threshold: float = 0.01,
     feature_type: str = "SIFT",
     aliked_checkpoint: str | None = None,
+    akaze_omax: int = 4,
+    akaze_dthreshold: float = 0.001,
+    akaze_descriptor: str = "MSURF",
+    akaze_descriptor_size: int = 0,
+    akaze_descriptor_channels: int = 3,
+    akaze_kcontrast_percentile: float = 0.7,
+    akaze_use_isotropic_diffusion: bool = False,
     progress: ProgressFn = None,
 ) -> int:
     """images/ -> features/<img>.features.npz (xys in original pixels +
@@ -92,11 +99,13 @@ def detect_features(
 
     ``feature_type`` mirrors the reference's classical menu
     (app/feature_extractor.py:68 / OpenSfM config.yaml:7): SIFT (the DoG
-    detector, default), ORB (FAST + rotated BRIEF, sfm.orb), HAHOG
-    (Harris ranking + oriented binary descriptor), ALIKED (learned;
-    checkpoint-faithful when ``aliked_checkpoint`` is a converted npz).
-    AKAZE/SURF (nonlinear scale space / box-filter Hessian) are not
-    implemented; requesting them raises rather than silently aliasing."""
+    detector, default), AKAZE (FED nonlinear diffusion scale space +
+    Hessian detector + M-SURF/M-LDB, sfm.akaze — the akaze_* kwargs are
+    the reference's config.yaml:26-33 params), ORB (FAST + rotated
+    BRIEF, sfm.orb), HAHOG (Harris ranking + oriented binary
+    descriptor), ALIKED (learned; checkpoint-faithful when
+    ``aliked_checkpoint`` is a converted npz). SURF is not implemented;
+    requesting it raises rather than silently aliasing."""
     import jax.numpy as jnp
 
     from splat_one_tpu.app.image_processing import ImageProcessor
@@ -104,10 +113,10 @@ def detect_features(
     from splat_one_tpu.sfm import features as F
 
     ft = feature_type.upper()
-    if ft in ("AKAZE", "SURF"):
+    if ft == "SURF":
         raise NotImplementedError(
-            f"feature_type={feature_type}: use SIFT/ORB/HAHOG/ALIKED "
-            "(AKAZE's nonlinear diffusion scale space is not implemented)"
+            "feature_type=SURF: use SIFT/AKAZE/ORB/HAHOG/ALIKED "
+            "(box-filter SURF is not implemented)"
         )
     if ft == "ALIKED":
         from splat_one_tpu.models import aliked_tpu
@@ -131,7 +140,18 @@ def detect_features(
             scale = feature_process_size / max(W0, H0)
             img = img.resize((int(W0 * scale), int(H0 * scale)))
         arr = np.asarray(img).astype(np.float32) / 255.0
-        if ft == "ORB":
+        if ft == "AKAZE":
+            from splat_one_tpu.sfm.akaze import extract_akaze
+
+            feats = extract_akaze(
+                jnp.asarray(arr), max_keypoints=max_keypoints,
+                omax=akaze_omax, dthreshold=akaze_dthreshold,
+                descriptor=akaze_descriptor,
+                descriptor_size=akaze_descriptor_size,
+                descriptor_channels=akaze_descriptor_channels,
+                kcontrast_percentile=akaze_kcontrast_percentile,
+                isotropic=akaze_use_isotropic_diffusion)
+        elif ft == "ORB":
             from splat_one_tpu.sfm.orb import extract_orb
 
             feats = extract_orb(jnp.asarray(arr),
@@ -171,7 +191,10 @@ def detect_features(
             K = np.eye(3, dtype=np.float32)
             model = "spherical"
         else:
-            f = cam.get("focal", exif["focal_ratio"]) * max(W0, H0)
+            f_norm = cam.get("focal")
+            if f_norm is None:
+                f_norm = exif.get("focal_ratio", 0.85)
+            f = f_norm * max(W0, H0)
             K = np.array(
                 [[f, 0, W0 / 2], [0, f, H0 / 2], [0, 0, 1]], np.float32
             )
@@ -187,7 +210,9 @@ def detect_features(
         if cam["projection_type"] == "spherical":
             ang_res = 2.0 * np.pi / max(W0 * scale, 1.0)
         else:
-            f_norm = cam.get("focal", exif["focal_ratio"])
+            f_norm = cam.get("focal")
+            if f_norm is None:
+                f_norm = exif.get("focal_ratio", 0.85)
             ang_res = 1.0 / max(f_norm * proc_size, 1.0)
         np.savez(
             os.path.join(fdir, name + ".features.npz"),
@@ -613,9 +638,19 @@ def estimate_depth(
             cam = _camera_for(workdir, exif)
         if cam is not None and cam["projection_type"] == "fisheye":
             H0, W0 = bgr.shape[:2]
-            f = cam.get("focal", exif["focal_ratio"]) * max(W0, H0)
+            # calibrated focal first, then EXIF, then a sane wide default
+            # (never evaluate exif["focal_ratio"] eagerly: EXIF without a
+            # focal must not mask a calibrated camera model)
+            f_norm = cam.get("focal")
+            if f_norm is None:
+                f_norm = exif.get("focal_ratio", 0.5)
+            f = f_norm * max(W0, H0)
+            # principal point from the camera model when calibrated
+            # (normalized offsets from the image center, OpenSfM schema)
+            cx = W0 / 2 + cam.get("c_x", 0.0) * max(W0, H0)
+            cy = H0 / 2 + cam.get("c_y", 0.0) * max(W0, H0)
             K = np.array(
-                [[f, 0, W0 / 2], [0, f, H0 / 2], [0, 0, 1]], np.float32)
+                [[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
             dist = np.array(
                 [cam.get("k1", 0.0), cam.get("k2", 0.0),
                  cam.get("k3", 0.0), cam.get("k4", 0.0)])

@@ -226,11 +226,20 @@ def parse_gpmf_bytes(data: bytes) -> List[Dict]:
 def parse_video_geotags(video_path: str, source: str = "auto"
                         ) -> List[Dict]:
     """Extract the embedded GPS track from an MP4 (source: "camm",
-    "gopro", or "auto" = try camm then gpmf)."""
+    "gopro", or "auto" = try camm then gpmf).
+
+    The file is memory-mapped, not read: capture videos are multi-GB but
+    the parsers only touch the moov box tables and the located metadata
+    sample ranges, so the OS pages in a few hundred KB."""
+    import mmap
+    import os
+
+    if os.path.getsize(video_path) == 0:
+        return []
     with open(video_path, "rb") as fh:
-        data = fh.read()
-    if source in ("camm", "auto"):
-        track = parse_camm_bytes(data)
-        if track or source == "camm":
-            return track
-    return parse_gpmf_bytes(data)
+        with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as data:
+            if source in ("camm", "auto"):
+                track = parse_camm_bytes(data)
+                if track or source == "camm":
+                    return track
+            return parse_gpmf_bytes(data)

@@ -244,17 +244,37 @@ def sddh_descriptors(params: Dict, feat: jax.Array, kpts: jax.Array,
     )
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "K", "M"))
 def extract_aliked_ckpt(
     params: Dict,
     image: jax.Array,  # [H, W] grayscale or [H, W, 3] RGB in [0, 1]
     max_keypoints: int = 2048,
     score_threshold: float = 0.2,
+    K: int | None = None,
+    M: int | None = None,
+) -> Features:
+    """Checkpoint-faithful extraction: encoder -> DKD (parameter-free NMS +
+    soft-argmax refinement) -> SDDH descriptors at refined keypoints.
+
+    K (SDDH patch size) and M (sample positions) default to the loaded
+    checkpoint's shapes — aliked-n32 ships M=32 while n16/t16 use M=16, so
+    hardcoded defaults would crash the n32 offset_conv reshape."""
+    if K is None:
+        K = params["desc_head.offset_conv.0.weight"].shape[0]
+    if M is None:
+        M = params["desc_head.agg_weights"].shape[0]
+    return _extract_aliked_ckpt(params, image, max_keypoints,
+                                score_threshold, int(K), int(M))
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "K", "M"))
+def _extract_aliked_ckpt(
+    params: Dict,
+    image: jax.Array,
+    max_keypoints: int = 2048,
+    score_threshold: float = 0.2,
     K: int = 3,
     M: int = 16,
 ) -> Features:
-    """Checkpoint-faithful extraction: encoder -> DKD (parameter-free NMS +
-    soft-argmax refinement) -> SDDH descriptors at refined keypoints."""
     if image.ndim == 2:
         image = jnp.broadcast_to(image[..., None], image.shape + (3,))
     H, W = image.shape[:2]

@@ -484,7 +484,18 @@ class DepthAnythingTPU:
         u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
         mx = (u - cx) / fx
         my = (v - cy) / fy
-        rd = np.sqrt(mx * mx + my * my)
+        rd_raw = np.sqrt(mx * mx + my * my)
+        # Guard the Newton iteration against out-of-FOV pixels (full-frame
+        # fisheyes have corners far outside the image circle, where the
+        # distortion polynomial is non-monotone and the iteration diverges
+        # into overflow/NaN): clamp the target radius to theta_d(FOV/2) and
+        # the iterate to the FOV before each step; true out-of-FOV pixels
+        # are excluded by the `inside` mask below regardless.
+        th_max = half
+        t2m = th_max * th_max
+        rd_max = th_max * (1 + k[0] * t2m + k[1] * t2m**2
+                           + k[2] * t2m**3 + k[3] * t2m**4)
+        rd = np.minimum(rd_raw, rd_max)
         th = rd.copy()
         for _ in range(5):  # invert theta_d(theta) (monotone in-FOV)
             t2 = th * th
@@ -492,7 +503,7 @@ class DepthAnythingTPU:
                        + k[3] * t2**4) - rd
             fp = (1 + 3 * k[0] * t2 + 5 * k[1] * t2**2
                   + 7 * k[2] * t2**3 + 9 * k[3] * t2**4)
-            th = th - f_ / np.maximum(fp, 1e-6)
+            th = np.clip(th - f_ / np.maximum(fp, 1e-6), 0.0, th_max)
         s = np.sin(th) / np.maximum(rd, 1e-9)
         dx = mx * s
         dy = my * s
@@ -501,8 +512,8 @@ class DepthAnythingTPU:
         lat_f = np.arcsin(np.clip(-dy, -1, 1))
         pu = (lon_f + half) / (2 * half) * erp_size - 0.5
         pv = (half - lat_f) / (2 * half) * erp_size - 0.5
-        inside = (th <= half + 1e-6) & (pu >= 0) & (pv >= 0) & (
-            pu <= erp_size - 1) & (pv <= erp_size - 1)
+        inside = (rd_raw <= rd_max * (1 + 1e-6)) & (pu >= 0) & (
+            pv >= 0) & (pu <= erp_size - 1) & (pv <= erp_size - 1)
         x0 = np.clip(pu.astype(int), 0, erp_size - 2)
         y0 = np.clip(pv.astype(int), 0, erp_size - 2)
         fxw = np.clip(pu - x0, 0, 1)

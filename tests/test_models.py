@@ -120,6 +120,39 @@ class TestDepth:
         # outside the FOV the output is masked to zero
         assert (out[r > 0.52 * W] == 0).all()
 
+    def test_infer_fisheye_full_frame_no_warnings(self):
+        """Full-frame fisheye (corners far outside the image circle): the
+        guarded Newton inversion must stay finite — no overflow/invalid
+        RuntimeWarnings — and still reproduce the pattern in-FOV while
+        masking the out-of-circle corners to zero."""
+        import warnings
+
+        from splat_one_tpu.models.depth_tpu import DepthAnythingTPU
+
+        model = DepthAnythingTPU("vits")
+        model.infer_image = lambda bgr: (
+            bgr[..., 2].astype(np.float32) / 255.0)
+
+        H, W = 120, 240  # wide frame: corners at ~2.2x the FOV radius
+        f = 50.0
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+        dist = np.array([0.05, -0.02, 0.01, 0.0])
+        yy, xx = np.mgrid[0:H, 0:W]
+        red = (0.5 + 0.4 * np.sin(xx / 9.0) * np.cos(yy / 12.0))
+        bgr = np.zeros((H, W, 3), np.uint8)
+        bgr[..., 2] = (red * 255).astype(np.uint8)
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            out = model.infer_fisheye(bgr, K, dist=dist, fov_deg=170.0,
+                                      erp_size=256)
+        assert np.isfinite(out).all()
+        r = np.hypot(xx - W / 2, yy - H / 2)
+        sel = r < 0.5 * f  # well inside the image circle
+        assert np.median(np.abs(out[sel] - red[sel])) < 0.02
+        # corners are beyond the image circle -> masked to zero
+        assert (out[r > 2.0 * f] == 0).all()
+
 
 class TestLightGlue:
     def test_matcher_contract(self):
