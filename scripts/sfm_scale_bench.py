@@ -144,6 +144,10 @@ def stage_recon():
         "err_median_over_spread": float(np.median(err) / spread),
         "err_max_over_spread": float(err.max() / spread),
         "stage_seconds": {k: round(v, 1) for k, v in t.items()},
+        # attempt-quality evidence (degeneracy / retention selection)
+        "recon_report": {
+            k: v for k, v in stats.items() if k != "steps"
+        },
     }
     with open(os.path.join(WD, "recon_bench.json"), "w") as fjs:
         json.dump(out, fjs, indent=1)

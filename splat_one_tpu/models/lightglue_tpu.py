@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from splat_one_tpu.models.sam_tpu import (
+from splat_one_tpu.models.transformer import (
     _init_linear, _init_ln, _layernorm, _linear,
 )
 

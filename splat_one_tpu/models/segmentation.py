@@ -8,7 +8,7 @@ multimask_output=False)``; alternating positive/negative clicks; the
 
 Two backends behind one predictor interface:
   - ``HieraPredictor`` — a JAX Hiera-style ViT encoder + two-way mask
-    decoder (models.sam_tpu). Faithful *weights* cannot be downloaded in
+    decoder (models.sam2_hiera compact tier). Faithful *weights* cannot be downloaded in
     this zero-egress build, so it activates only when a converted ``.npz``
     checkpoint is supplied.
   - ``ClassicalPredictor`` (default fallback) — promptable region growing:
@@ -125,7 +125,7 @@ def build_predictor(checkpoint: Optional[str] = None,
             from splat_one_tpu.models.sam2_hiera import SAM2Predictor
 
             return SAM2Predictor(checkpoint, config=config)
-        from splat_one_tpu.models.sam_tpu import HieraPredictor
+        from splat_one_tpu.models.sam2_hiera import HieraPredictor
 
         return HieraPredictor(checkpoint)
     return ClassicalPredictor()

@@ -292,6 +292,12 @@ def robust_filter_matches_batched(
     from splat_one_tpu.sfm.geometry import ransac_essential
 
     N_HYP = 1024
+    # 8pt for the pair FILTER (init-pair geometry in sfm.reconstruct stays
+    # 5pt for planar safety): identical inlier sets on the bench scenes
+    # and ~40x cheaper after the eigh-refit + prefix-sampling fixes
+    # (0.05 vs 2.0 s/call at cap=1024 on CPU) — the filter was the
+    # dominant cost of the matching stage at 200 images
+    SOLVER = "8pt"
     items = sorted(matches.items())
     keys = jax.random.split(key, len(items) + 1)[1:]
     out = {}
@@ -309,7 +315,7 @@ def robust_filter_matches_batched(
     def batch_verify(ks, b1, b2, valid, thr):
         res = jax.vmap(
             lambda k, a, b, v: ransac_essential(
-                k, a, b, v, threshold=thr, solver="5pt", n_hyp=N_HYP)
+                k, a, b, v, threshold=thr, solver=SOLVER, n_hyp=N_HYP)
         )(ks, b1, b2, valid)
         return res.n_inliers, res.inliers
 
@@ -384,7 +390,7 @@ def robust_filter_matches(
     # when bucketing changed the PRNG draws)
     res = ransac_essential(
         key, jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(valid),
-        threshold=threshold, solver="5pt", n_hyp=1024,
+        threshold=threshold, solver="8pt", n_hyp=1024,
     )
     if int(res.n_inliers) < min_inliers:
         return matches[:0]

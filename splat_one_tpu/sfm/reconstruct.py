@@ -71,6 +71,12 @@ class ReconstructConfig:
     # are chaotic in the init pair on marginal geometry (measured r2/r3);
     # keep the attempt registering the most cameras (ties: most points)
     init_retries: int = 3
+    # early-stop bar on observation retention: an attempt that had to
+    # prune >12% of track observations to satisfy its bundles is treated
+    # as suspect (likely a warped minimum) and further init pairs are
+    # tried; the best attempt by (geometry, cameras, retained obs,
+    # residual) still wins if every attempt is suspect
+    min_obs_retention: float = 0.88
 
 
 @dataclasses.dataclass
@@ -183,6 +189,7 @@ def incremental_reconstruct(
         1 for img in range(len(bearings))
         if any(img in tr for tr in tracks)
     )
+    tot_obs = sum(len(tr) for tr in tracks)
     best = None
     best_key = None
     attempts = 0
@@ -197,17 +204,34 @@ def incremental_reconstruct(
         rec.report["median_residual"] = med_res
         degen = _degenerate_geometry(rec)
         rec.report["degenerate"] = degen
+        # observation retention: the consensus-size criterion. A warped
+        # self-consistent minimum survives its bundles by PRUNING the
+        # observations it cannot fit (measured on the 12-ring scene, r5:
+        # true minimum retains 95.8% of track observations at med_res
+        # 2.1e-4; the bent one only 80.1% at 7.9e-4 — and the bent one
+        # passed every older gate: complete, non-degenerate, residual
+        # under the early-stop bar). More retained observations at the
+        # same outlier threshold = higher inlier consensus = the better
+        # model, exactly as in RANSAC scoring.
+        n_obs = sum(
+            sum(1 for img in tracks[t] if img in rec.poses)
+            for t in rec.points
+        )
+        retention = n_obs / max(tot_obs, 1)
+        rec.report["obs_retention"] = retention
         # a collapsed (pure-rotation-like) solution is SELF-CONSISTENT —
         # every camera at one center, points pushed toward infinity,
         # residuals small (r4 200-image spiral: center spread 0.5% of
         # scene depth, 200/200 "registered") — so completeness + residual
-        # alone cannot reject it; the geometry test must outrank both
-        key_k = (not degen, len(rec.poses), -med_res)
+        # alone cannot reject it; the geometry test must outrank both,
+        # then consensus size, then residual
+        key_k = (not degen, len(rec.poses), n_obs, -med_res)
         if best is None or key_k > best_key:
             best, best_key = rec, key_k
         if (not degen
                 and len(rec.poses) >= 0.9 * max(n_with_obs, 1)
-                and med_res <= 0.2 * cfg.outlier_threshold):
+                and med_res <= 0.2 * cfg.outlier_threshold
+                and retention >= cfg.min_obs_retention):
             break
     best.report["init_attempts"] = attempts
     return best

@@ -46,7 +46,7 @@ class TestSegmentation:
         assert arr[0, 0] == 255 and arr[2, 2] == 0  # inverted
 
     def test_hiera_forward_shapes(self):
-        from splat_one_tpu.models import sam_tpu
+        from splat_one_tpu.models import sam2_hiera as sam_tpu
 
         key = jax.random.PRNGKey(0)
         enc = sam_tpu.init_encoder(key)
@@ -54,7 +54,7 @@ class TestSegmentation:
         img = jnp.zeros((1, 256, 256, 3))
         emb = sam_tpu.encode_image(enc, img)
         assert emb.shape == (1, 8, 8, 256)
-        logits, iou = sam_tpu.decode_masks(
+        logits, iou = sam_tpu.compact_decode_masks(
             enc, dec, emb, jnp.array([[[0.5, 0.5]]]), jnp.array([[1.0]])
         )
         assert logits.shape == (1, 32, 32)

@@ -190,6 +190,93 @@ class TestPipeline:
         assert err < 0.05 * spread, (err, spread, rec.report)
 
 
+class TestAttemptSelection:
+    """The retry wrapper must reject self-consistent-but-wrong minima:
+    pure-rotation collapse (degeneracy test) and warped minima that prune
+    observations (retention test) — the r4 200-image spiral and the r5
+    ring regressions respectively."""
+
+    def _mk_rec(self, n_cams, centers, points, report=None):
+        poses = {}
+        for i, c in enumerate(centers[:n_cams]):
+            # identity rotation, center c -> t = -c
+            poses[i] = np.concatenate(
+                [np.zeros(3), -np.asarray(c, np.float32)]).astype(
+                np.float32)
+        pts = {i: np.asarray(p, np.float32)
+               for i, p in enumerate(points)}
+        return RC.Reconstruction(poses, pts, report or {"steps": []})
+
+    def test_selection_prefers_retention(self, monkeypatch):
+        """Attempt 0: complete + tight residual but low retention (a
+        warped minimum). Attempt 1: same completeness, higher retention.
+        The wrapper must continue past attempt 0 and return attempt 1."""
+        rng = np.random.default_rng(0)
+        ring = [(np.cos(a), np.sin(a), 0.0)
+                for a in np.linspace(0, 2 * np.pi, 6, endpoint=False)]
+        pts_all = rng.uniform(-1, 1, (40, 3)) + [0, 0, 5]
+        # tracks: every point seen by all 6 cameras
+        tracks = [{img: 0 for img in range(6)} for _ in range(40)]
+        bearings = [np.tile([[0, 0, 1.0]], (1, 1)).astype(np.float32)
+                    for _ in range(6)]
+
+        recs = [
+            self._mk_rec(6, ring, pts_all[:24]),  # 60% of obs retained
+            self._mk_rec(6, ring, pts_all[:38]),  # 95% retained
+            self._mk_rec(6, ring, pts_all[:20]),
+        ]
+        calls = {"n": 0}
+
+        def fake_attempt(bearings, tracks, pair_inliers, cfg, seed,
+                         snapshot, gps_positions, init_skip=0):
+            r = recs[min(init_skip, len(recs) - 1)]
+            calls["n"] += 1
+            return r
+
+        monkeypatch.setattr(RC, "_reconstruct_attempt", fake_attempt)
+        monkeypatch.setattr(RC, "_median_residual",
+                            lambda rec, b, t: 1e-5)
+        rec = RC.incremental_reconstruct(
+            bearings, tracks, {}, RC.ReconstructConfig(init_retries=3))
+        assert calls["n"] >= 2  # did NOT early-stop on the pruned attempt
+        assert len(rec.points) == 38  # the high-retention attempt won
+        assert rec.report["obs_retention"] == pytest.approx(
+            38 * 6 / 240)
+
+    def test_selection_rejects_pure_rotation_collapse(self, monkeypatch):
+        """A collapsed solution (all centers coincident, points far) must
+        lose to a healthy one even when it registers equal cameras and
+        carries a smaller residual."""
+        rng = np.random.default_rng(1)
+        ring = [(np.cos(a), np.sin(a), 0.0)
+                for a in np.linspace(0, 2 * np.pi, 6, endpoint=False)]
+        collapsed_centers = [(1e-4 * rng.normal(), 1e-4 * rng.normal(),
+                              0.0) for _ in range(6)]
+        far_pts = rng.normal(size=(40, 3)) * 5 + [0, 0, 100]
+        near_pts = rng.uniform(-1, 1, (40, 3)) + [0, 0, 5]
+        tracks = [{img: 0 for img in range(6)} for _ in range(40)]
+        bearings = [np.tile([[0, 0, 1.0]], (1, 1)).astype(np.float32)
+                    for _ in range(6)]
+        recs = [
+            self._mk_rec(6, collapsed_centers, far_pts),  # degenerate
+            self._mk_rec(6, ring, near_pts),
+        ]
+
+        def fake_attempt(bearings, tracks, pair_inliers, cfg, seed,
+                         snapshot, gps_positions, init_skip=0):
+            return recs[min(init_skip, len(recs) - 1)]
+
+        monkeypatch.setattr(RC, "_reconstruct_attempt", fake_attempt)
+        monkeypatch.setattr(RC, "_median_residual",
+                            lambda rec, b, t: 1e-5)
+        rec = RC.incremental_reconstruct(
+            bearings, tracks, {}, RC.ReconstructConfig(init_retries=2))
+        assert not rec.report["degenerate"]
+        C = np.stack([-RC._R_of(p[:3]).T @ p[3:]
+                      for p in rec.poses.values()])
+        assert np.linalg.norm(C - C.mean(0), axis=1).mean() > 0.5
+
+
 class TestVladPairs:
     def test_vlad_selects_similar_images(self, rng):
         import numpy as np
