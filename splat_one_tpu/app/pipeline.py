@@ -92,6 +92,10 @@ def detect_features(
     akaze_descriptor_channels: int = 3,
     akaze_kcontrast_percentile: float = 0.7,
     akaze_use_isotropic_diffusion: bool = False,
+    surf_hessian_threshold: float = 3000.0,
+    surf_n_octaves: int = 4,
+    surf_n_octavelayers: int = 2,
+    surf_upright: bool = False,
     progress: ProgressFn = None,
 ) -> int:
     """images/ -> features/<img>.features.npz (xys in original pixels +
@@ -104,8 +108,9 @@ def detect_features(
     the reference's config.yaml:26-33 params), ORB (FAST + rotated
     BRIEF, sfm.orb), HAHOG (Harris ranking + oriented binary
     descriptor), ALIKED (learned; checkpoint-faithful when
-    ``aliked_checkpoint`` is a converted npz). SURF is not implemented;
-    requesting it raises rather than silently aliasing."""
+    ``aliked_checkpoint`` is a converted npz), SURF (integral-image
+    fast-Hessian + the shared M-SURF descriptor, sfm.surf — the surf_*
+    kwargs are config.yaml:20-24). Full 6/6 classical menu parity."""
     import jax.numpy as jnp
 
     from splat_one_tpu.app.image_processing import ImageProcessor
@@ -113,11 +118,6 @@ def detect_features(
     from splat_one_tpu.sfm import features as F
 
     ft = feature_type.upper()
-    if ft == "SURF":
-        raise NotImplementedError(
-            "feature_type=SURF: use SIFT/AKAZE/ORB/HAHOG/ALIKED "
-            "(box-filter SURF is not implemented)"
-        )
     if ft == "ALIKED":
         from splat_one_tpu.models import aliked_tpu
 
@@ -140,7 +140,16 @@ def detect_features(
             scale = feature_process_size / max(W0, H0)
             img = img.resize((int(W0 * scale), int(H0 * scale)))
         arr = np.asarray(img).astype(np.float32) / 255.0
-        if ft == "AKAZE":
+        if ft == "SURF":
+            from splat_one_tpu.sfm.surf import extract_surf
+
+            feats = extract_surf(
+                jnp.asarray(arr), max_keypoints=max_keypoints,
+                hessian_threshold=surf_hessian_threshold,
+                n_octaves=surf_n_octaves,
+                n_layers=surf_n_octavelayers,
+                upright=surf_upright)
+        elif ft == "AKAZE":
             from splat_one_tpu.sfm.akaze import extract_akaze
 
             feats = extract_akaze(
