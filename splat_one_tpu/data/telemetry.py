@@ -17,6 +17,11 @@ video-relative — the sample's presentation time — so frames extracted at
   repeat); ``GPS5`` rows (lat, lon, alt, speed2d, speed3d as s32) scaled
   by the stream's ``SCAL`` divisors. Sample entry fourcc ``gpmd``; rows
   within one packet spread evenly across the sample's duration.
+- BlackVue: NMEA sentences with bracketed epoch-ms prefixes inside the
+  MP4's top-level ``free`` boxes (``parse_blackvue_bytes``).
+- exiftool RDF/XML sidecars (``parse_exiftool_xml``) for the
+  ``exiftool_xml`` source: Track*/QuickTime timed GPS tags, DMS or
+  decimal coordinates.
 
 Pure stdlib struct parsing — no ffmpeg/av dependency; only the box types
 needed for sample extraction are implemented (stsd/stts/stsc/stsz/stco/
@@ -223,6 +228,166 @@ def parse_gpmf_bytes(data: bytes) -> List[Dict]:
     return sorted(out, key=lambda r: r["time_s"])
 
 
+def _nmea_deg(v: str, hemi: str) -> float:
+    f = float(v)
+    d = int(f / 100)
+    out = d + (f - d * 100) / 60.0
+    return -out if hemi in ("S", "W") else out
+
+
+def parse_blackvue_bytes(data) -> List[Dict]:
+    """BlackVue dashcam GPS track -> [{time_s, lat, lon, alt}].
+
+    BlackVue MP4s embed NMEA sentences in top-level ``free`` boxes, each
+    line prefixed with a bracketed epoch-milliseconds timestamp:
+    ``[1623057074211]$GPRMC,...`` (the reference's mapillary_tools
+    ``--geotag_source blackvue``, app/main_app.py:248-264). The bracket
+    epoch provides the clock; RMC provides position, GGA altitude.
+    Returned times are VIDEO-RELATIVE (first fix = 0) to match the other
+    embedded sources."""
+    import re
+
+    rows = []
+    alts = {}
+    n = len(data)
+    free_ranges = [(ps, pe) for typ, ps, pe in _boxes(data, 0, n)
+                   if typ == b"free"]
+    pat = re.compile(rb"\[(\d{10,16})\](\$[A-Z]{2}(?:RMC|GGA)[^\r\n]*)")
+    for ps, pe in free_ranges:
+        for m in pat.finditer(bytes(data[ps:pe])):
+            t_ms = int(m.group(1))
+            body = m.group(2).split(b"*")[0].decode("ascii", "ignore")
+            p = body.split(",")
+            typ = p[0][3:]
+            try:
+                if typ == "GGA" and len(p) > 9 and p[9]:
+                    alts[t_ms // 1000] = float(p[9])
+                elif typ == "RMC" and len(p) > 6 and p[2] == "A":
+                    rows.append(dict(
+                        time_s=t_ms / 1000.0,
+                        lat=_nmea_deg(p[3], p[4]),
+                        lon=_nmea_deg(p[5], p[6]),
+                        alt=0.0,
+                    ))
+            except (ValueError, IndexError):
+                continue  # malformed sentence: skip
+    for r in rows:
+        r["alt"] = alts.get(int(r["time_s"]), 0.0)
+    rows.sort(key=lambda r: r["time_s"])
+    if rows:
+        t0 = rows[0]["time_s"]
+        for r in rows:
+            r["time_s"] -= t0
+    return rows
+
+
+def parse_exiftool_xml(xml_path: str) -> List[Dict]:
+    """exiftool -X (RDF/XML) sidecar -> [{time_s, lat, lon, alt}].
+
+    The reference's ``--geotag_source exiftool_xml`` consumes exiftool's
+    RDF dump of a video's timed GPS track (Track*/QuickTime GPS tags).
+    Handles decimal or DMS-formatted coordinates and groups repeated
+    latitude/longitude/altitude/timestamp tags in document order into
+    samples. Times are video-relative (first fix = 0)."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    def to_deg(s: str) -> float:
+        s = s.strip()
+        m = re.match(
+            r"(\d+(?:\.\d+)?) deg (\d+(?:\.\d+)?)' "
+            r"(\d+(?:\.\d+)?)\" ([NSEW])", s)
+        if m:
+            v = (float(m.group(1)) + float(m.group(2)) / 60
+                 + float(m.group(3)) / 3600)
+            return -v if m.group(4) in "SW" else v
+        # decimal, possibly with hemisphere suffix
+        m = re.match(r"(-?\d+(?:\.\d+)?)\s*([NSEW])?", s)
+        v = float(m.group(1))
+        return -v if m.group(2) in ("S", "W") else v
+
+    def to_time(s: str):
+        import datetime as dt
+
+        m = re.match(
+            r"(\d{4}):(\d{2}):(\d{2})[ T](\d{2}):(\d{2}):"
+            r"(\d{2}(?:\.\d+)?)", s.strip())
+        if not m:
+            return None
+        sec = float(m.group(6))
+        return dt.datetime(
+            int(m.group(1)), int(m.group(2)), int(m.group(3)),
+            int(m.group(4)), int(m.group(5)), int(sec),
+            int((sec % 1) * 1e6), tzinfo=dt.timezone.utc).timestamp()
+
+    root = ET.parse(xml_path).getroot()
+    samples: List[Dict] = []
+    cur: Dict = {}
+
+    def flush():
+        nonlocal cur
+        if "lat" in cur and "lon" in cur:
+            samples.append(cur)
+        cur = {}
+
+    def put(key, value):
+        # tags repeat per sample in document order: a repeated field
+        # means the previous sample is complete
+        if key in cur:
+            flush()
+        cur[key] = value
+
+    for el in root.iter():
+        tag = el.tag.rsplit("}", 1)[-1]
+        txt = (el.text or "").strip()
+        if not txt:
+            continue
+        try:
+            if tag == "GPSCoordinates":
+                parts = txt.split(",")
+                put("lat", to_deg(parts[0]))
+                cur["lon"] = to_deg(parts[1])
+                if len(parts) > 2:
+                    cur["alt"] = float(re.sub(r"[^\d.+-]", "",
+                                              parts[2]) or 0)
+                flush()
+            elif tag == "GPSLatitude":
+                put("lat", to_deg(txt))
+            elif tag == "GPSLongitude":
+                put("lon", to_deg(txt))
+            elif tag == "GPSAltitude":
+                put("alt", float(re.sub(r"[^\d.+-]", "", txt) or 0))
+            elif tag == "SampleTime":
+                m = re.match(r"(?:(\d+):)?(\d+):(\d+(?:\.\d+)?)"
+                             r"|(\d+(?:\.\d+)?) s", txt)
+                if m:
+                    if m.group(4) is not None:
+                        put("time_s", float(m.group(4)))
+                    else:
+                        put("time_s", 3600 * int(m.group(1) or 0)
+                            + 60 * int(m.group(2)) + float(m.group(3)))
+            elif tag == "GPSDateTime":
+                t = to_time(txt)
+                if t is not None:
+                    put("time_s", t)
+        except (ValueError, AttributeError, IndexError):
+            continue
+    flush()
+    out = []
+    for i, s in enumerate(samples):
+        if "lat" not in s or "lon" not in s:
+            continue
+        out.append(dict(
+            time_s=float(s.get("time_s", i)),
+            lat=s["lat"], lon=s["lon"], alt=float(s.get("alt", 0.0))))
+    out.sort(key=lambda r: r["time_s"])
+    if out and out[0]["time_s"] > 1e6:  # absolute clock -> video-relative
+        t0 = out[0]["time_s"]
+        for r in out:
+            r["time_s"] -= t0
+    return out
+
+
 def parse_video_geotags(video_path: str, source: str = "auto"
                         ) -> List[Dict]:
     """Extract the embedded GPS track from an MP4 (source: "camm",
@@ -242,4 +407,8 @@ def parse_video_geotags(video_path: str, source: str = "auto"
                 track = parse_camm_bytes(data)
                 if track or source == "camm":
                     return track
-            return parse_gpmf_bytes(data)
+            if source in ("gopro", "gopro_videos", "auto"):
+                track = parse_gpmf_bytes(data)
+                if track or source != "auto":
+                    return track
+            return parse_blackvue_bytes(data)

@@ -132,10 +132,16 @@ def parse_nmea(nmea_path: str) -> List[Dict]:
 
 
 def parse_geotag_file(path: str) -> List[Dict]:
-    """Dispatch on geotag source format: .gpx or NMEA text logs
+    """Dispatch on geotag source format: .gpx, exiftool RDF/XML dumps
+    (.xml — the reference's ``exiftool_xml`` source), or NMEA text logs
     (.nmea/.log/.txt)."""
-    if path.lower().endswith(".gpx"):
+    low = path.lower()
+    if low.endswith(".gpx"):
         return parse_gpx(path)
+    if low.endswith(".xml"):
+        from splat_one_tpu.data.telemetry import parse_exiftool_xml
+
+        return parse_exiftool_xml(path)
     return parse_nmea(path)
 
 
@@ -189,9 +195,10 @@ def process_video(
 ) -> int:
     """Full ingestion: frames into <workdir>/images plus
     image_descriptions.json geotags (the reference's process_video flow,
-    main_app.py:216-277). ``geotag_source``: "file" (GPX/NMEA sidecar at
-    ``gpx_path``) or "camm"/"gopro"/"auto" (telemetry embedded in the
-    video itself, data.telemetry)."""
+    main_app.py:216-277). ``geotag_source``: "file" (GPX / NMEA /
+    exiftool-XML sidecar at ``gpx_path``) or "camm"/"gopro"/"blackvue"/
+    "auto" (telemetry embedded in the video itself, data.telemetry) —
+    the reference's full source menu (main_app.py:57-63)."""
     frames = extract_frames(
         video_path, os.path.join(workdir, "images"), interval_s
     )

@@ -134,3 +134,91 @@ def test_wrong_track_ignored():
     assert T.parse_camm_bytes(data) == []
     data2 = _make_mp4(b"camm", [_camm_sample5(1, 2, 3)])
     assert T.parse_gpmf_bytes(data2) == []
+
+
+def _rmc(t_ms, lat_deg, lon_deg):
+    """One bracketed BlackVue RMC line."""
+    def dm(v):
+        d = int(abs(v))
+        m = (abs(v) - d) * 60
+        return f"{d:02d}{m:07.4f}"
+
+    lat_h = "N" if lat_deg >= 0 else "S"
+    lon_h = "E" if lon_deg >= 0 else "W"
+    body = (f"GPRMC,120000.00,A,{dm(lat_deg)},{lat_h},"
+            f"{dm(lon_deg)},{lon_h},0.0,0.0,070621,,,A")
+    return f"[{t_ms}]${body}*00\r\n".encode()
+
+
+class TestBlackvue:
+    def test_free_box_nmea(self):
+        lines = (_rmc(1623057074000, 35.5, 139.25)
+                 + f"[1623057074000]$GPGGA,120000.00,,,,,1,08,1.0,"
+                   f"42.5,M,,,,*00\r\n".encode()
+                 + _rmc(1623057075000, 35.6, 139.35))
+        data = _box(b"ftyp", b"mp42") + _box(b"free", lines) + _box(
+            b"mdat", b"\x00" * 32)
+        track = T.parse_blackvue_bytes(data)
+        assert len(track) == 2
+        np.testing.assert_allclose(
+            [p["lat"] for p in track], [35.5, 35.6], atol=1e-6)
+        np.testing.assert_allclose(
+            [p["lon"] for p in track], [139.25, 139.35], atol=1e-6)
+        # video-relative times from the bracket epochs
+        np.testing.assert_allclose(
+            [p["time_s"] for p in track], [0.0, 1.0])
+        assert track[0]["alt"] == 42.5
+
+    def test_auto_falls_through_to_blackvue(self, tmp_path):
+        data = _box(b"ftyp", b"mp42") + _box(
+            b"free", _rmc(1000000000000, 1.5, 2.5))
+        p = tmp_path / "bv.mp4"
+        p.write_bytes(data)
+        track = T.parse_video_geotags(str(p), "auto")
+        assert len(track) == 1 and abs(track[0]["lat"] - 1.5) < 1e-6
+        track2 = T.parse_video_geotags(str(p), "blackvue")
+        assert len(track2) == 1
+
+
+class TestExiftoolXml:
+    def test_rdf_track(self, tmp_path):
+        xml = """<?xml version='1.0'?>
+<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'
+         xmlns:Track3='http://ns.exiftool.org/QuickTime/Track3/1.0/'>
+ <rdf:Description>
+  <Track3:GPSDateTime>2021:06:07 12:00:00.000Z</Track3:GPSDateTime>
+  <Track3:GPSLatitude>35 deg 30' 0.00" N</Track3:GPSLatitude>
+  <Track3:GPSLongitude>139 deg 15' 0.00" E</Track3:GPSLongitude>
+  <Track3:GPSAltitude>12.3 m</Track3:GPSAltitude>
+  <Track3:GPSDateTime>2021:06:07 12:00:01.000Z</Track3:GPSDateTime>
+  <Track3:GPSLatitude>35.6</Track3:GPSLatitude>
+  <Track3:GPSLongitude>139.35</Track3:GPSLongitude>
+  <Track3:GPSAltitude>13.3 m</Track3:GPSAltitude>
+ </rdf:Description>
+</rdf:RDF>"""
+        p = tmp_path / "v.xml"
+        p.write_text(xml)
+        track = T.parse_exiftool_xml(str(p))
+        assert len(track) == 2
+        np.testing.assert_allclose(
+            [r["lat"] for r in track], [35.5, 35.6], atol=1e-6)
+        np.testing.assert_allclose(
+            [r["time_s"] for r in track], [0.0, 1.0])
+        np.testing.assert_allclose(
+            [r["alt"] for r in track], [12.3, 13.3])
+
+    def test_geotag_file_dispatch(self, tmp_path):
+        from splat_one_tpu.data.video import parse_geotag_file
+
+        xml = """<?xml version='1.0'?>
+<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'
+         xmlns:T='http://ns.exiftool.org/QuickTime/Track3/1.0/'>
+ <rdf:Description>
+  <T:GPSLatitude>1.5</T:GPSLatitude>
+  <T:GPSLongitude>2.5</T:GPSLongitude>
+ </rdf:Description>
+</rdf:RDF>"""
+        p = tmp_path / "g.xml"
+        p.write_text(xml)
+        track = parse_geotag_file(str(p))
+        assert len(track) == 1 and track[0]["lon"] == 2.5
