@@ -1,0 +1,113 @@
+"""A/B the seg_broadcast Pallas kernel vs the XLA fallback at bench shapes.
+
+Round-4 regression driver: the kernel landed dead (tail-chunk coverage
+guard always False -> silent fallback, VERDICT r4 weak #1). This script
+PROVES on device which path runs: it checks the coverage guard on the
+exact bench-scale problem, then times the forced kernel path against the
+forced XLA path and the production cond.
+
+Run on the TPU: PYTHONPATH=. python scripts/seg_broadcast_ab.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from splat_one_tpu.ops import seg_broadcast as SB
+from splat_one_tpu.ops import stream_isect as si_mod
+from splat_one_tpu.ops.projection import project_gaussians
+from splat_one_tpu.ops.stream_isect import StreamCaps
+
+N_GAUSS = int(os.environ.get("SB_AB_N", 1_000_000))
+W, H = 1280, 720
+ITERS = int(os.environ.get("SB_AB_ITERS", 10))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    means = rng.uniform(-1, 1, (N_GAUSS, 3)).astype(np.float32)
+    means[:, 2] += 4
+    quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
+    scales = (np.exp(rng.uniform(-6.5, -5.0, (N_GAUSS, 3))) * 3).astype(
+        np.float32)
+    opac = rng.uniform(0.3, 1.0, N_GAUSS).astype(np.float32)
+    viewmats = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    Ks = jnp.asarray(np.array(
+        [[[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]]],
+        np.float32))
+    colors = rng.uniform(size=(N_GAUSS, 3)).astype(np.float32)
+    proj = jax.jit(lambda m, q, s, o, c: project_gaussians(
+        m, q, s, o, viewmats, Ks, W, H, colors=c))(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors))
+    jax.block_until_ready(proj)
+
+    _, _, sw, sh_ = si_mod.supertile_grid(W, H, 16, 2)
+    caps = StreamCaps.choose(N_GAUSS, 1, sw * sh_,
+                             avg_supertiles_per_gaussian=3.0, ss=2)
+
+    # reproduce the expansion inputs the isect builder computes
+    r = proj.radii.reshape(N_GAUSS).astype(jnp.float32)
+    mx = proj.means2d.reshape(N_GAUSS, 2)[:, 0]
+    my = proj.means2d.reshape(N_GAUSS, 2)[:, 1]
+    st = 16 * 2
+    sx0 = jnp.clip(((mx - r) / st).astype(jnp.int32), 0, sw - 1)
+    sx1 = jnp.clip(((mx + r) / st).astype(jnp.int32), 0, sw - 1)
+    sy0 = jnp.clip(((my - r) / st).astype(jnp.int32), 0, sh_ - 1)
+    sy1 = jnp.clip(((my + r) / st).astype(jnp.int32), 0, sh_ - 1)
+    live = r > 0
+    span = jnp.where(live, sx1 - sx0 + 1, 0)
+    span_y = jnp.where(live, sy1 - sy0 + 1, 0)
+    counts = (span * span_y).astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    n_isect = int(offsets[-1] + counts[-1])
+    ka = jnp.zeros((N_GAUSS,), jnp.int32)
+    depth = proj.depths.reshape(N_GAUSS)
+    span_c = jnp.maximum(span, 1)
+    exp_cap = caps.exp_cap
+    print(f"n_isect={n_isect} exp_cap={exp_cap} "
+          f"tail_chunks={-(-exp_cap // SB.CH) - (-(-n_isect // SB.CH))}",
+          flush=True)
+
+    okv, _, _ = SB.coverage_windows(offsets, counts, exp_cap)
+    ok_all = bool(np.asarray(jnp.all(okv)))
+    print(f"coverage guard ok={ok_all} "
+          f"(failing chunks: {int(np.asarray(jnp.sum(~okv)))})",
+          flush=True)
+
+    args = (sx0, sy0, span_c, ka, offsets, depth, counts)
+
+    def timeit(tag, force):
+        f = jax.jit(
+            lambda *a: SB.expand_meta_streamed(*a, exp_cap, force)[5],
+            static_argnums=(),
+        )
+        out = jax.block_until_ready(f(*args))
+        t0 = time.time()
+        for _ in range(ITERS):
+            out = jax.block_until_ready(f(*args))
+        dt = (time.time() - t0) / ITERS * 1000
+        print(f"{tag:24s} {dt:8.2f} ms", flush=True)
+        return dt, out
+
+    t_k, d_k = timeit("forced kernel", "kernel")
+    t_x, d_x = timeit("forced xla", "xla")
+    t_p, d_p = timeit("production (cond)", None)
+    exact = bool(np.array_equal(np.asarray(d_k)[:n_isect],
+                                np.asarray(d_x)[:n_isect]))
+    print("SEG_BROADCAST_AB " + json.dumps({
+        "guard_ok": ok_all, "kernel_ms": round(t_k, 2),
+        "xla_ms": round(t_x, 2), "production_ms": round(t_p, 2),
+        "kernel_vs_xla_exact_live_slots": exact,
+        "production_takes_kernel": abs(t_p - t_k) < abs(t_p - t_x),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

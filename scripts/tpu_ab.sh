@@ -4,6 +4,8 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+echo "=== seg_broadcast kernel vs xla (the r4 dead-code kernel, now live) ==="
+timeout 900 python -u scripts/seg_broadcast_ab.py 2>&1 | grep -v WARNING
 echo "=== parity (TPU, stream vs tiled) ==="
 STREAM_CPU=0 timeout 900 python -u scripts/stream_parity.py 2>&1 | grep -v WARNING
 echo "=== bench default (G=128, observed caps, new kernels) ==="
