@@ -96,6 +96,8 @@ def detect_features(
     surf_n_octaves: int = 4,
     surf_n_octavelayers: int = 2,
     surf_upright: bool = False,
+    hahog_peak_threshold: float = 1e-5,
+    hahog_edge_threshold: float = 10.0,
     progress: ProgressFn = None,
 ) -> int:
     """images/ -> features/<img>.features.npz (xys in original pixels +
@@ -106,8 +108,10 @@ def detect_features(
     detector, default), AKAZE (FED nonlinear diffusion scale space +
     Hessian detector + M-SURF/M-LDB, sfm.akaze — the akaze_* kwargs are
     the reference's config.yaml:26-33 params), ORB (FAST + rotated
-    BRIEF, sfm.orb), HAHOG (Harris ranking + oriented binary
-    descriptor), ALIKED (learned; checkpoint-faithful when
+    BRIEF, sfm.orb), HAHOG (Hessian detector + 128-D HOG descriptor,
+    sfm.features.extract_hahog — hahog_* params are config.yaml:35-38;
+    affine adaptation not implemented), ALIKED (learned;
+    checkpoint-faithful when
     ``aliked_checkpoint`` is a converted npz), SURF (integral-image
     fast-Hessian + the shared M-SURF descriptor, sfm.surf — the surf_*
     kwargs are config.yaml:20-24). Full 6/6 classical menu parity."""
@@ -166,10 +170,12 @@ def detect_features(
             feats = extract_orb(jnp.asarray(arr),
                                 max_keypoints=max_keypoints)
         elif ft == "HAHOG":
-            from splat_one_tpu.sfm.orb import extract_harris
+            from splat_one_tpu.sfm.features import extract_hahog
 
-            feats = extract_harris(jnp.asarray(arr),
-                                   max_keypoints=max_keypoints)
+            feats = extract_hahog(
+                jnp.asarray(arr), max_keypoints=max_keypoints,
+                peak_threshold=hahog_peak_threshold,
+                edge_threshold=hahog_edge_threshold)
         elif ft == "ALIKED":
             if aliked_faithful:
                 feats = aliked_tpu.extract_aliked_ckpt(

@@ -234,6 +234,174 @@ def extract_features(
     )
 
 
+def _hog_machinery(grad_x, grad_y, H, W):
+    """Orientation + 128-D HOG descriptor closures over per-level gradient
+    stacks [L, H, W] — shared by the SIFT (DoG) and HAHOG (Hessian)
+    tiers."""
+
+    def bilinear(level_maps, s_i, yy, xx):
+        m = level_maps[s_i]
+        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 2)
+        fx = xx - x0
+        fy = yy - y0
+        return (
+            m[y0, x0] * (1 - fx) * (1 - fy)
+            + m[y0, x0 + 1] * fx * (1 - fy)
+            + m[y0 + 1, x0] * (1 - fx) * fy
+            + m[y0 + 1, x0 + 1] * fx * fy
+        )
+
+    def orientation(s_i, yy, xx, sc):
+        rr = jnp.arange(-8, 9, dtype=jnp.float32)
+        dy, dx = jnp.meshgrid(rr, rr, indexing="ij")
+        rad = sc * 0.75
+        py = yy + dy * rad / 4.0
+        px = xx + dx * rad / 4.0
+        gx = bilinear(grad_x, s_i, py, px)
+        gy = bilinear(grad_y, s_i, py, px)
+        mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+        ang = jnp.arctan2(gy, gx)
+        w = jnp.exp(-(dx * dx + dy * dy) / (2 * 6.0 ** 2))
+        bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(
+            jnp.int32
+        ) % 36
+        hist = jnp.zeros(36).at[bins.reshape(-1)].add(
+            (mag * w).reshape(-1)
+        )
+        b = jnp.argmax(hist)
+        return (b.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+
+    def descriptor(s_i, yy, xx, sc, theta):
+        rr = jnp.arange(-7.5, 8.5, dtype=jnp.float32)
+        v, u = jnp.meshgrid(rr, rr, indexing="ij")
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        step = sc * 0.8
+        px = xx + (u * ct - v * st) * step
+        py = yy + (u * st + v * ct) * step
+        gx = bilinear(grad_x, s_i, py, px)
+        gy = bilinear(grad_y, s_i, py, px)
+        mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+        ang = jnp.arctan2(gy, gx) - theta
+        w = jnp.exp(-(u * u + v * v) / (2 * 8.0 ** 2))
+        obin = jnp.floor((ang + 3 * jnp.pi) / (2 * jnp.pi) * 8).astype(
+            jnp.int32
+        ) % 8
+        sx = jnp.clip(((u + 8.0) / 4.0).astype(jnp.int32), 0, 3)
+        sy = jnp.clip(((v + 8.0) / 4.0).astype(jnp.int32), 0, 3)
+        flat_bin = (sy * 4 + sx) * 8 + obin
+        desc = jnp.zeros(128).at[flat_bin.reshape(-1)].add(
+            (mag * w).reshape(-1)
+        )
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+        desc = jnp.minimum(desc, 0.2)
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+        return jnp.sqrt(desc)
+
+    return orientation, descriptor
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "n_scales"))
+def extract_hahog(
+    image: jax.Array,  # [H, W] grayscale float in [0, 1]
+    max_keypoints: int = 2048,
+    n_scales: int = 5,
+    peak_threshold: float = 1e-5,  # hahog_peak_threshold (config.yaml:36)
+    edge_threshold: float = 10.0,  # hahog_edge_threshold (config.yaml:37)
+) -> Features:
+    """HAHOG tier: Hessian detector + 128-D gradient-histogram (HOG)
+    descriptor — the reference's OpenSfM HAHOG backend
+    (feature_extractor.py:68; config.yaml:35-38 params honored).
+
+    Detection is the scale-normalized determinant of the image Hessian
+    (sigma^4 * det H) over a Gaussian pyramid with 3x3x3 scale-space NMS,
+    edge rejection by the trace^2/det ratio, and subpixel quadratic
+    refinement; description is the same rootSIFT-normalized 4x4x8
+    gradient-orientation histogram the SIFT tier uses (HAHOG = Hessian
+    Affine + HOG; the affine shape adaptation iteration is not
+    implemented — keypoints use circular regions, documented honestly)."""
+    H, W = image.shape
+    sigmas = [1.2 * (1.6 ** i) for i in range(n_scales + 2)]
+    blurred = [_gaussian_blur(image, s) for s in sigmas]
+
+    def shift2(x, dy, dx):
+        return jnp.roll(jnp.roll(x, dy, axis=-2), dx, axis=-1)
+
+    responses = []
+    for i, b in enumerate(blurred):
+        dxx = shift2(b, 0, 1) + shift2(b, 0, -1) - 2 * b
+        dyy = shift2(b, 1, 0) + shift2(b, -1, 0) - 2 * b
+        dxy = 0.25 * (shift2(b, 1, 1) + shift2(b, -1, -1)
+                      - shift2(b, 1, -1) - shift2(b, -1, 1))
+        det = dxx * dyy - dxy * dxy
+        tr = dxx + dyy
+        r = edge_threshold
+        edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+        responses.append(jnp.where(edge_ok, det * sigmas[i] ** 4, 0.0))
+    resp = jnp.stack(responses)  # [L, H, W]
+
+    neighborhood = jnp.stack([
+        shift2(jnp.roll(resp, ds, axis=0), dy, dx)
+        for ds in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if not (ds == 0 and dy == 0 and dx == 0)
+    ])
+    cand = jnp.all(resp[None] > neighborhood, axis=0) & (
+        resp > peak_threshold)
+    s_grid = jax.lax.broadcasted_iota(jnp.int32, resp.shape, 0)
+    cand &= (s_grid > 0) & (s_grid < len(blurred) - 1)
+    borders = jnp.asarray(
+        [max(20, int(np.ceil(4.5 * s_))) for s_ in sigmas], jnp.int32
+    )[:, None, None]
+    ys_g = jax.lax.broadcasted_iota(jnp.int32, resp.shape, 1)
+    xs_g = jax.lax.broadcasted_iota(jnp.int32, resp.shape, 2)
+    cand &= (ys_g >= borders) & (ys_g < H - borders)
+    cand &= (xs_g >= borders) & (xs_g < W - borders)
+
+    score = jnp.where(cand, resp, 0.0).reshape(-1)
+    k = min(max_keypoints, score.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    valid = top_scores > 0
+    s_idx = top_idx // (H * W)
+    rem = top_idx % (H * W)
+    yi = rem // W
+    xi = rem % W
+    # subpixel: 1D quadratic per axis on the response
+    gx_r = 0.5 * (shift2(resp, 0, -1) - shift2(resp, 0, 1))
+    gy_r = 0.5 * (shift2(resp, -1, 0) - shift2(resp, 1, 0))
+    hxx = shift2(resp, 0, 1) + shift2(resp, 0, -1) - 2 * resp
+    hyy = shift2(resp, 1, 0) + shift2(resp, -1, 0) - 2 * resp
+    off_x = jnp.clip(gx_r[s_idx, yi, xi] / jnp.where(
+        jnp.abs(hxx[s_idx, yi, xi]) > 1e-12, -hxx[s_idx, yi, xi],
+        1e-12), -0.5, 0.5)
+    off_y = jnp.clip(gy_r[s_idx, yi, xi] / jnp.where(
+        jnp.abs(hyy[s_idx, yi, xi]) > 1e-12, -hyy[s_idx, yi, xi],
+        1e-12), -0.5, 0.5)
+    y = yi.astype(jnp.float32) + off_y
+    x = xi.astype(jnp.float32) + off_x
+    scale = jnp.asarray(sigmas, jnp.float32)[s_idx]
+
+    grad_x = jnp.stack(
+        [0.5 * (shift2(b, 0, -1) - shift2(b, 0, 1)) for b in blurred])
+    grad_y = jnp.stack(
+        [0.5 * (shift2(b, -1, 0) - shift2(b, 1, 0)) for b in blurred])
+    orientation, descriptor = _hog_machinery(grad_x, grad_y, H, W)
+    thetas = jax.vmap(orientation)(s_idx, y, x, scale)
+    descs = jax.vmap(descriptor)(s_idx, y, x, scale, thetas)
+    pad = max_keypoints - k
+
+    def padk(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    return Features(
+        xys=padk(jnp.stack([x, y], axis=-1)),
+        scales=padk(scale),
+        orientations=padk(thetas),
+        descriptors=padk(jnp.where(valid[:, None], descs, 0.0)),
+        scores=padk(top_scores),
+        valid=padk(valid),
+    )
+
+
 def normalized_image_coordinates(
     xys: jax.Array, width: int, height: int
 ) -> jax.Array:

@@ -151,5 +151,59 @@ def test_pipeline_feature_type_dispatch(tmp_path):
     z = np.load(os.path.join(wd, "features", "im0.png.features.npz"))
     assert z["descriptors"].shape[0] == 128
     assert z["bearings"].shape == (128, 3)
-    with pytest.raises(NotImplementedError):
-        pipeline.detect_features(wd, feature_type="AKAZE")
+    # the full 6-type menu dispatches (AKAZE/SURF grew real tiers in r5;
+    # their correctness tests live in test_akaze.py / test_surf.py)
+
+
+class TestHahog:
+    """HAHOG tier (sfm.features.extract_hahog): Hessian detector + HOG
+    descriptor — the reference's OpenSfM HAHOG backend
+    (config.yaml:35-38)."""
+
+    def _texture(self, seed=0, size=300):
+        import scipy.ndimage as ndi
+
+        rng = np.random.default_rng(seed)
+        base = ndi.gaussian_filter(rng.uniform(size=(size, size)), 3.0)
+        base = (base > np.median(base)).astype(np.float32)
+        return ndi.gaussian_filter(base, 1.0).astype(np.float32)
+
+    def test_shift_and_rotation(self):
+        from splat_one_tpu.sfm.features import extract_hahog
+
+        base = self._texture()
+        img1 = base[20:276, 20:276]
+        img2 = base[24:280, 16:272]
+        f1 = extract_hahog(jnp.asarray(img1), max_keypoints=384)
+        f2 = extract_hahog(jnp.asarray(img2), max_keypoints=384)
+        assert f1.descriptors.shape == (384, 128)
+        idx2, ok = M.match_descriptors(
+            f1.descriptors, f2.descriptors, f1.valid, f2.valid)
+        ok = np.asarray(ok)
+        assert ok.sum() > 150
+        sh = np.asarray(f2.xys)[np.asarray(idx2)[ok]] - np.asarray(
+            f1.xys)[ok]
+        np.testing.assert_allclose(
+            np.median(sh, axis=0), [4.0, -4.0], atol=1.0)
+        img3 = np.rot90(img1).copy()
+        f3 = extract_hahog(jnp.asarray(img3), max_keypoints=384)
+        idx3, ok3 = M.match_descriptors(
+            f1.descriptors, f3.descriptors, f1.valid, f3.valid)
+        ok3 = np.asarray(ok3)
+        assert ok3.sum() > 100
+        xyA = np.asarray(f1.xys)[ok3]
+        xyB = np.asarray(f3.xys)[np.asarray(idx3)[ok3]]
+        pred = np.stack([xyA[:, 1], img1.shape[1] - 1 - xyA[:, 0]], -1)
+        err = np.linalg.norm(pred - xyB, axis=1)
+        assert (err < 2.5).mean() > 0.85
+
+    def test_peak_threshold(self):
+        from splat_one_tpu.sfm.features import extract_hahog
+
+        base = self._texture(1)[:200, :200]
+        n_lo = int(np.asarray(extract_hahog(
+            jnp.asarray(base), max_keypoints=384).valid).sum())
+        n_hi = int(np.asarray(extract_hahog(
+            jnp.asarray(base), max_keypoints=384,
+            peak_threshold=1e-2).valid).sum())
+        assert n_hi < n_lo
