@@ -209,7 +209,7 @@ def stage_ba():
     C, P, E = cams.shape[0], points.shape[0], z["cam_idx"].shape[0]
     problem = build_problem(z["cam_idx"], z["pt_idx"], z["bearings"], C, P)
     iters = int(os.environ.get("BA_ITERS", "50"))
-    cfg = BAConfig(max_iters=iters)
+    cfg = BAConfig(max_iterations=iters)
 
     fn = jax.jit(lambda c, p: bundle_adjust(c, p, problem, cfg))
     c1, p1, info = fn(cams, points)

@@ -99,12 +99,26 @@ def _kernel(bases_ref, offs_ref, vals_ref, out_ref, obuf, vbuf, sems,
     )
 
 
+def _trunc_bf16(x):
+    """f32 -> nearest-below bf16 value, AS f32, via mantissa masking.
+
+    Deliberately NOT ``x.astype(bf16).astype(f32)``: XLA's algebraic
+    simplifier folds f32->bf16->f32 convert chains to identity under jit
+    (verified on TPU — the folded build reconstructed depth at bf16
+    precision only), while a bitwise mask cannot be folded. Truncation
+    (round-toward-zero) is as good as rounding for the 3-way split: each
+    part stays bf16-representable and the residual shrinks by 2^-8."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def _split3(x):
     """f32 -> 3 bf16-exact f32 parts with (p0 + p1) + p2 == x exactly."""
-    p0 = x.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = x - p0
-    p1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    p2 = r1 - p1  # <= 8 significant bits left: bf16-exact
+    p0 = _trunc_bf16(x)
+    r1 = x - p0  # exact: true difference has <= 17 significant bits
+    p1 = _trunc_bf16(r1)
+    p2 = r1 - p1  # <= 9 significant bits left: bf16-exact
     return p0, p1, p2
 
 
@@ -212,8 +226,22 @@ def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
     (both are masked downstream via slot_ok/sorted_ok); span is clamped
     >= 1 so the modulo decode is always defined.
 
-    ``force_path`` (static; None | 'kernel' | 'xla') bypasses the cond —
-    tests use 'kernel' to prove the Pallas path itself is exact."""
+    ``force_path`` (static; None | 'kernel' | 'xla' | 'cond') bypasses
+    the default — tests use 'kernel' to prove the Pallas path itself is
+    exact. The DEFAULT is the XLA path: with the r4 coverage-guard bug
+    fixed the kernel genuinely runs, but measured in situ on the v5e it
+    is ~32 ms SLOWER than the fallback at bench scale (isect build 35.6
+    -> 68.0 ms, scripts/stream_profile.py, r5) — the [CH, SLAB]
+    one-hot/compare work per chunk scales with the 3072-wide aligned
+    parent window, ~8x the live parents a 1024-slot chunk actually
+    touches. SPLAT_SEG_BROADCAST=cond restores the guarded kernel for
+    experiments."""
+    if force_path is None:
+        import os
+
+        force_path = os.environ.get("SPLAT_SEG_BROADCAST", "xla")
+    if force_path == "cond":
+        force_path = None
     MP = sx0.shape[0]
     okv, pbases, offs_pad = coverage_windows(offsets, counts, exp_cap)
     ok = jnp.all(okv)

@@ -65,9 +65,9 @@ def test_kernel_matches_reference(zero_frac):
         r_live = ri[:n_isect]
         assert np.array_equal(g_live, r_live), (
             name, np.flatnonzero(g_live != r_live)[:5])
-    # and the production entry (cond) must agree with the forced path
-    prod = jax.jit(SB.expand_meta_streamed, static_argnums=(7,))(
-        *jprob, exp_cap)
+    # the guarded-cond entry must agree with the forced path
+    prod = jax.jit(SB.expand_meta_streamed, static_argnums=(7, 8))(
+        *jprob, exp_cap, "cond")
     for gi, pi in zip(got, prod):
         assert np.array_equal(gi[:n_isect], np.asarray(pi)[:n_isect])
 
@@ -108,7 +108,7 @@ def test_overflow_falls_back():
     assert not bool(np.asarray(okv).all())  # guard must trip
     got = SB.expand_meta_streamed(
         *[jnp.asarray(a) for a in
-          (sx0, sy0, span, ka, offsets, depth, counts)], exp_cap)
+          (sx0, sy0, span, ka, offsets, depth, counts)], exp_cap, "cond")
     ref = _xla_reference(sx0, sy0, span, ka, offsets, depth, counts,
                          exp_cap)
     for gi, ri in zip(got, ref):
@@ -117,7 +117,12 @@ def test_overflow_falls_back():
 
 def test_depth_bit_exact():
     """The 3-way bf16 split must reconstruct f32 depth EXACTLY (it is a
-    sort key; any rounding would reorder near-ties vs the oracle)."""
+    sort key; any rounding would reorder near-ties vs the oracle) — ON
+    THE KERNEL PATH and UNDER JIT. Both qualifiers are load-bearing:
+    XLA's algebraic simplifier folds f32->bf16->f32 convert chains to
+    identity under jit (caught live on the TPU, r5 — eager was exact,
+    jitted reconstructed only the leading bf16 part), which is why
+    _split3 truncates via bitwise mantissa masking instead of converts."""
     rng = np.random.default_rng(5)
     mp = 2000
     prob = list(_random_problem(rng, mp, zero_frac=0.1))
@@ -126,7 +131,7 @@ def test_depth_bit_exact():
                * np.exp2(rng.integers(-20, 20, mp)).astype(np.float32))
     n_isect = int(prob[4][-1] + prob[6][-1])
     exp_cap = -(-int(n_isect * 1.1) // 128) * 128
-    got = SB.expand_meta_streamed(
-        *[jnp.asarray(a) for a in prob], exp_cap)
+    got = jax.jit(SB.expand_meta_streamed, static_argnums=(7, 8))(
+        *[jnp.asarray(a) for a in prob], exp_cap, "kernel")
     ref = _xla_reference(*[np.asarray(a) for a in prob], exp_cap)
     assert np.array_equal(np.asarray(got[5])[:n_isect], ref[5][:n_isect])
