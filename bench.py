@@ -175,7 +175,9 @@ def main():
           jnp.asarray(opac))
         n0 = int(si_mod.build_stream_intersections(proj0, W, H, 16, caps0)
                  .n_isect)
-        caps = StreamCaps.choose_observed(n0, s_w * s_h, chunk=CHUNK)
+        sb_slab = si_mod.observed_sb_slab(proj0, W, H, 16, caps0)
+        caps = StreamCaps.choose_observed(n0, s_w * s_h, chunk=CHUNK,
+                                          sb_slab=sb_slab)
     args = tuple(
         jnp.asarray(x)
         for x in (means, quats, scales, opac, sh, viewmats, Ks)

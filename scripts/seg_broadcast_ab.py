@@ -80,12 +80,16 @@ def main():
     print(f"coverage guard ok={ok_all} "
           f"(failing chunks: {int(np.asarray(jnp.sum(~okv)))})",
           flush=True)
+    req = SB.required_slab(np.asarray(offsets), np.asarray(counts),
+                           exp_cap)
+    print(f"required_slab (observed) = {req}", flush=True)
 
     args = (sx0, sy0, span_c, ka, offsets, depth, counts)
 
-    def timeit(tag, force):
+    def timeit(tag, force, slab=SB.SLAB):
         f = jax.jit(
-            lambda *a: SB.expand_meta_streamed(*a, exp_cap, force)[5],
+            lambda *a: SB.expand_meta_streamed(
+                *a, exp_cap, force, slab)[5],
             static_argnums=(),
         )
         out = jax.block_until_ready(f(*args))
@@ -93,19 +97,21 @@ def main():
         for _ in range(ITERS):
             out = jax.block_until_ready(f(*args))
         dt = (time.time() - t0) / ITERS * 1000
-        print(f"{tag:24s} {dt:8.2f} ms", flush=True)
+        print(f"{tag:32s} {dt:8.2f} ms", flush=True)
         return dt, out
 
-    t_k, d_k = timeit("forced kernel", "kernel")
+    t_k, d_k = timeit("forced kernel slab=3072", "kernel")
+    t_kt, d_kt = timeit(f"forced kernel slab={req}", "kernel", req)
     t_x, d_x = timeit("forced xla", "xla")
-    t_p, d_p = timeit("production (cond)", None)
-    exact = bool(np.array_equal(np.asarray(d_k)[:n_isect],
+    t_p, d_p = timeit(f"production cond slab={req}", "cond", req)
+    exact = bool(np.array_equal(np.asarray(d_kt)[:n_isect],
                                 np.asarray(d_x)[:n_isect]))
     print("SEG_BROADCAST_AB " + json.dumps({
-        "guard_ok": ok_all, "kernel_ms": round(t_k, 2),
+        "guard_ok": ok_all, "required_slab": req,
+        "kernel_ms": round(t_k, 2),
+        "kernel_tight_ms": round(t_kt, 2),
         "xla_ms": round(t_x, 2), "production_ms": round(t_p, 2),
         "kernel_vs_xla_exact_live_slots": exact,
-        "production_takes_kernel": abs(t_p - t_k) < abs(t_p - t_x),
     }), flush=True)
 
 

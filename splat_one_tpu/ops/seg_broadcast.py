@@ -35,15 +35,18 @@ Design (the inverse of ops.seg_reduce's one-hot reduction):
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CH = 1024  # slots per grid program
-B = 2048  # guaranteed parent window past the (1024-aligned) slab base
-SLAB = 3072  # parents DMA'd per chunk (1024-aligned slices for Mosaic)
+B = 2048  # guaranteed parent window past the slab base (default slab)
+SLAB = 3072  # default parents DMA'd per chunk when no observed window
 OLEN = 4096  # offset entries DMA'd (need off[p+1] for the last parent)
+ALIGN = 128  # slab-base alignment (lane width; DMA-friendly)
 
 # vals column layout (every entry bf16-exact)
 VC_SX0 = 0
@@ -67,33 +70,59 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _kernel(bases_ref, offs_ref, vals_ref, out_ref, obuf, vbuf, sems,
-            vsems):
+def _kernel(bases_ref, offs2_ref, vals_ref, out_ref, obuf, vbuf, osems,
+            vsems, *, slab):
+    """One grid program = CH consecutive slots. Parent slabs are DMA'd
+    double-buffered: program k starts program k+1's slab copies before
+    computing, so slab-fetch latency (2 HBM->VMEM copies per chunk, the
+    dominant cost of the original single-buffered kernel) hides behind
+    the compare/matmul work of the previous chunk. ``offs2`` rides as a
+    [2, L] table (row 0 = off[p], row 1 = off[p+1]) because Mosaic
+    requires 1D dynamic slices to be 1024-element aligned while 2D
+    slices only need lane (128) alignment — the same constraint shape as
+    the vals slab."""
     k = pl.program_id(0)
-    base = pl.multiple_of(bases_ref[k], 1024)
-    BS = SLAB
+    nb = pl.num_programs(0)
 
-    odma = pltpu.make_async_copy(
-        offs_ref.at[pl.ds(base, OLEN)], obuf, sems)
-    vdma = pltpu.make_async_copy(
-        vals_ref.at[:, pl.ds(base, SLAB)], vbuf, vsems)
-    odma.start()
-    vdma.start()
-    odma.wait()
-    vdma.wait()
+    def _start(j, slot):
+        base = pl.multiple_of(bases_ref[j], ALIGN)
+        pltpu.make_async_copy(
+            offs2_ref.at[:, pl.ds(base, slab)], obuf.at[slot],
+            osems.at[slot]).start()
+        pltpu.make_async_copy(
+            vals_ref.at[:, pl.ds(base, slab)], vbuf.at[slot],
+            vsems.at[slot]).start()
+
+    @pl.when(k == 0)
+    def _():
+        _start(0, 0)
+
+    @pl.when(k + 1 < nb)
+    def _():
+        _start(k + 1, (k + 1) % 2)
+
+    slot = k % 2
+    base = pl.multiple_of(bases_ref[k], ALIGN)
+    pltpu.make_async_copy(
+        offs2_ref.at[:, pl.ds(base, slab)], obuf.at[slot],
+        osems.at[slot]).wait()
+    pltpu.make_async_copy(
+        vals_ref.at[:, pl.ds(base, slab)], vbuf.at[slot],
+        vsems.at[slot]).wait()
 
     slots = (k * CH + jax.lax.broadcasted_iota(
         jnp.int32, (CH, 1), 0)).astype(jnp.float32)
-    offs0 = obuf[pl.ds(0, BS)].reshape(1, BS)  # off[p] for slab parents
-    offs1 = obuf[pl.ds(1, BS)].reshape(1, BS)  # off[p + 1]
-    ge0 = slots >= offs0  # [CH, BS], monotone nonincreasing along p
+    offs0 = obuf[slot, 0, :].reshape(1, slab)  # off[p]
+    offs1 = obuf[slot, 1, :].reshape(1, slab)  # off[p + 1]
+    ge0 = slots >= offs0  # [CH, slab], monotone nonincreasing along p
     ge1 = slots >= offs1
     onehot = (ge0 & jnp.logical_not(ge1)).astype(jnp.bfloat16)
 
-    # [CH, NC] = onehot[CH, BS] . vals[NC, BS]^T — one-hot on the LEFT
-    # (M = CH fully tiles the MXU); exact: one nonzero product per output
+    # [CH, NC] = onehot[CH, slab] . vals[NC, slab]^T — one-hot on the
+    # LEFT (M = CH fully tiles the MXU); exact: one nonzero product per
+    # output
     out_ref[...] = jax.lax.dot_general(
-        onehot, vbuf[...].astype(jnp.bfloat16),
+        onehot, vbuf[slot].astype(jnp.bfloat16),
         ((((1,), (1,))), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -132,7 +161,7 @@ def _bytes3(x):
     )
 
 
-def build_vals(sx0, sy0, span, ka, offsets, depth):
+def build_vals(sx0, sy0, span, ka, offsets, depth, slab=SLAB):
     """[MP] parent columns -> [NC, MP_pad] bf16-exact value table
     (parents on lanes)."""
     MP = sx0.shape[0]
@@ -152,44 +181,47 @@ def build_vals(sx0, sy0, span, ka, offsets, depth):
     ]
     vals = jnp.stack(cols + [jnp.zeros((MP,), jnp.float32)] * (
         NC - len(cols)), axis=0)
-    pad = (-MP) % 1024 + SLAB
+    pad = (-MP) % ALIGN + slab
     return jnp.pad(vals, ((0, 0), (0, pad)))
 
 
-def expand_parent_meta(vals, offs_pad, pbases, exp_cap):
-    """vals [NC, MP_pad] (build_vals), offs_pad [>= MP + B + 384] f32
-    inclusive offset table padded with 2^24, pbases [nb] int32 128-aligned
-    window bases -> [exp_cap, NC] per-slot meta (columns VC_*)."""
+def expand_parent_meta(vals, offs_pad, pbases, exp_cap, slab=SLAB):
+    """vals [NC, MP_pad] (build_vals), offs_pad f32 inclusive offset
+    table padded with 2^24, pbases [nb] int32 ALIGN-aligned window bases
+    -> [exp_cap, NC] per-slot meta (columns VC_*)."""
+    import functools
+
     nb = -(-exp_cap // CH)
+    offs2 = jnp.stack([offs_pad[:-1], offs_pad[1:]], axis=0)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, slab=slab),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # offs_pad
+                pl.BlockSpec(memory_space=pl.ANY),  # offs2
                 pl.BlockSpec(memory_space=pl.ANY),  # vals
             ],
             out_specs=pl.BlockSpec((CH, NC), lambda k, b: (k, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((OLEN,), jnp.float32),
-                pltpu.VMEM((NC, SLAB), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 2, slab), jnp.float32),
+                pltpu.VMEM((2, NC, slab), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nb * CH, NC), jnp.float32),
         interpret=_use_interpret(),
-    )(pbases, offs_pad, vals)
+    )(pbases, offs2, vals)
     return out[:exp_cap]
 
 
-def coverage_windows(offsets, counts, exp_cap):
+def coverage_windows(offsets, counts, exp_cap, slab=SLAB):
     """Per-chunk parent-window bases + coverage flags.
 
     Returns (okv [nb] bool, pbases [nb] int32, offs_pad f32). A chunk is
-    covered when its aligned parent slab [base, base + SLAB) reaches past
+    covered when its aligned parent slab [base, base + slab) reaches past
     every LIVE parent whose run intersects the chunk's slots: required
     coverage is ``min(chunk_start + CH, total)`` — slots at/after
     ``total`` (= n_isect; the static-capacity tail that always exists)
@@ -197,26 +229,52 @@ def coverage_windows(offsets, counts, exp_cap):
     constrain the window."""
     MP = offsets.shape[0]
     nb = -(-exp_cap // CH)
+    olen = slab + ALIGN
     total = offsets[-1] + counts[-1]
     offs_incl = jnp.concatenate(
         [offsets.astype(jnp.float32),
          total.astype(jnp.float32).reshape(1)])
-    pad = (-MP) % 1024 + OLEN + 1024
+    pad = (-MP) % ALIGN + olen + 1024
     offs_pad = jnp.concatenate(
         [offs_incl, jnp.full((pad,), float(1 << 24), jnp.float32)])
     chunk_starts = (jnp.arange(nb, dtype=jnp.int32) * CH).astype(
         jnp.float32)
     pb = jnp.searchsorted(offs_incl, chunk_starts, side="right") - 1
     pb = jnp.maximum(pb, 0).astype(jnp.int32)
-    pbases = (pb // 1024) * 1024
-    slab_end = jnp.minimum(pbases + SLAB, MP)
+    pbases = (pb // ALIGN) * ALIGN
+    slab_end = jnp.minimum(pbases + slab, MP)
     need = jnp.minimum(chunk_starts + CH, total.astype(jnp.float32))
     okv = offs_pad[slab_end] >= need
     return okv, pbases, offs_pad
 
 
+def required_slab(offsets, counts, exp_cap, margin: int = 256) -> int:
+    """Observed tight slab width: the max, over slot chunks, of the
+    ALIGN-aligned parent window a chunk actually needs, + margin, rounded
+    to ALIGN. Callers measure this ONCE on a warm-up problem (like
+    StreamCaps.choose_observed right-sizes exp_cap) and pass it as
+    ``slab=`` to expand_meta_streamed: the kernel's compare + one-hot
+    matmul cost per chunk scales with the slab width, and the default
+    3072 window is ~8x the live parents a 1024-slot chunk touches on
+    bench-like densities. Drift past the observed width trips the
+    coverage guard -> XLA fallback (correct, slower), mirroring the
+    exp_cap overflow-regrow contract."""
+    offsets = np.asarray(offsets)
+    counts = np.asarray(counts)
+    total = int(offsets[-1]) + int(counts[-1])
+    nb = -(-exp_cap // CH)
+    offs_incl = np.concatenate([offsets, [total]]).astype(np.int64)
+    starts = np.arange(nb, dtype=np.int64) * CH
+    pb = np.maximum(
+        np.searchsorted(offs_incl, starts, side="right") - 1, 0)
+    need = np.minimum(starts + CH, total)
+    pe = np.searchsorted(offs_incl, need, side="left")
+    width = int(np.max(pe - (pb // ALIGN) * ALIGN)) + margin
+    return max(-(-width // ALIGN) * ALIGN, ALIGN)
+
+
 def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
-                         exp_cap, force_path=None):
+                         exp_cap, force_path=None, slab=SLAB):
     """Drop-in replacement for the XLA expansion + meta gather of
     ops.stream_isect: returns (sx0_s, sy0_s, span_s, ka_s, off_s,
     depth_s, g_of_s) per slot. Falls back to the scatter+gather path via
@@ -243,12 +301,14 @@ def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
     if force_path == "cond":
         force_path = None
     MP = sx0.shape[0]
-    okv, pbases, offs_pad = coverage_windows(offsets, counts, exp_cap)
+    okv, pbases, offs_pad = coverage_windows(offsets, counts, exp_cap,
+                                             slab=slab)
     ok = jnp.all(okv)
 
     def kernel_path(_):
-        vals = build_vals(sx0, sy0, span, ka, offsets, depth)
-        m = expand_parent_meta(vals, offs_pad, pbases, exp_cap)
+        vals = build_vals(sx0, sy0, span, ka, offsets, depth, slab=slab)
+        m = expand_parent_meta(vals, offs_pad, pbases, exp_cap,
+                               slab=slab)
         ka_s = m[:, VC_KA0] + 256.0 * m[:, VC_KA1]
         off_s = (m[:, VC_OFF0] + 256.0 * m[:, VC_OFF1]
                  + 65536.0 * m[:, VC_OFF2])

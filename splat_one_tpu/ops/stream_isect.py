@@ -37,6 +37,8 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -99,6 +101,9 @@ class StreamCaps:
     n_supertiles: int  # C * SH * SW
     chunk: int = 128  # kernel chunk G
     ss: int = SS  # tiles per supertile side
+    sb_slab: int = 3072  # seg_broadcast parent-window width (see
+    # seg_broadcast.required_slab; right-sized from a warm-up build like
+    # exp_cap — the kernel's per-chunk cost scales with this width)
 
     @property
     def pad_cap(self) -> int:
@@ -131,7 +136,8 @@ class StreamCaps:
 
     @staticmethod
     def choose_observed(n_isect: int, n_supertiles: int, chunk: int = 128,
-                        slack: float = 1.08, ss: int = SS):
+                        slack: float = 1.08, ss: int = SS,
+                        sb_slab: int = 3072):
         """Size caps from a MEASURED intersection count (one warm-up
         ``build_stream_intersections`` with generous caps, or the previous
         step's ``info["n_isect"]``). Every glue stage (expansion cumsums,
@@ -146,7 +152,7 @@ class StreamCaps:
             "exp_cap must stay f32-exact (meta offsets ride as f32)"
         )
         return StreamCaps(exp_cap=exp_cap, n_supertiles=n_supertiles,
-                          chunk=chunk, ss=ss)
+                          chunk=chunk, ss=ss, sb_slab=sb_slab)
 
 
 class StreamIsect(NamedTuple):
@@ -235,6 +241,61 @@ def pack_stream(fields: jax.Array, isect: StreamIsect,
     )
 
 
+def parent_spans(proj: Projected, width: int, height: int, tile_size: int,
+                 ss: int, camera_model: str = "pinhole"):
+    """Per-(camera, gaussian) supertile bbox spans in original [C, N]
+    order (no depth pre-sort): returns (sx0, span_x, sy0, span_y).
+
+    Membership uses the per-axis 3-sigma ELLIPSE extents (rx, ry) — a
+    strict subset of the circumscribed-circle bbox, ~25-40% fewer rows
+    through every rate-bound glue stage for anisotropic gaussians. The
+    kernels' per-tile test and the oracle share the same expression
+    (projection.conic_ellipse_radii) on the same conic floats."""
+    from splat_one_tpu.ops.projection import conic_ellipse_radii
+
+    C, N = proj.depths.shape
+    M0 = C * N
+    tw, th, sw, sh = supertile_grid(width, height, tile_size, ss)
+    sps = tile_size * ss
+    u = proj.means2d[..., 0].reshape(M0)
+    v = proj.means2d[..., 1].reshape(M0)
+    con = proj.conics.reshape(M0, 3)
+    rx, ry = conic_ellipse_radii(con[:, 0], con[:, 1], con[:, 2])
+    valid = proj.valid.reshape(M0)
+    sy0 = jnp.clip(jnp.floor((v - ry) / sps), 0, sh).astype(jnp.int32)
+    sy1 = jnp.clip(jnp.ceil((v + ry) / sps), 0, sh).astype(jnp.int32)
+    span_y = jnp.maximum(sy1 - sy0, 0)
+    if camera_model == "spherical":
+        sx0 = jnp.floor((u - rx) / sps).astype(jnp.int32)
+        sx1 = jnp.ceil((u + rx) / sps).astype(jnp.int32)
+        span_x = jnp.minimum(sx1 - sx0, sw)
+        sx0 = jnp.mod(sx0, sw)
+    else:
+        sx0 = jnp.clip(jnp.floor((u - rx) / sps), 0, sw).astype(jnp.int32)
+        sx1 = jnp.clip(jnp.ceil((u + rx) / sps), 0, sw).astype(jnp.int32)
+        span_x = jnp.maximum(sx1 - sx0, 0)
+    span_x = jnp.where(valid, span_x, 0)
+    span_y = jnp.where(valid, span_y, 0)
+    return sx0, span_x, sy0, span_y
+
+
+def observed_sb_slab(proj: Projected, width: int, height: int,
+                     tile_size: int, caps: StreamCaps,
+                     camera_model: str = "pinhole") -> int:
+    """Measure the seg_broadcast parent-window width this scene needs
+    (seg_broadcast.required_slab) from a warm-up projection — callers
+    fold it into StreamCaps.choose_observed(sb_slab=...) alongside the
+    observed exp_cap."""
+    from splat_one_tpu.ops import seg_broadcast
+
+    sx0, span_x, sy0, span_y = parent_spans(
+        proj, width, height, tile_size, caps.ss, camera_model)
+    counts = np.asarray((span_x * span_y).astype(jnp.int32))
+    offsets = np.concatenate(
+        [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    return seg_broadcast.required_slab(offsets, counts, caps.exp_cap)
+
+
 def build_stream_intersections(
     proj: Projected,
     width: int,
@@ -270,33 +331,8 @@ def build_stream_intersections(
     EXP = caps.exp_cap
     sps = tile_size * caps.ss  # supertile pixel size
 
-    # 1. supertile bbox spans (original [C, N] order — no depth pre-sort).
-    # Membership uses the per-axis 3-sigma ELLIPSE extents (rx, ry) — a
-    # strict subset of the circumscribed-circle bbox, ~25-40% fewer rows
-    # through every rate-bound glue stage for anisotropic gaussians. The
-    # kernels' per-tile test and the oracle share the same expression
-    # (projection.conic_ellipse_radii) on the same conic floats.
-    from splat_one_tpu.ops.projection import conic_ellipse_radii
-
-    u = proj.means2d[..., 0].reshape(M0)
-    v = proj.means2d[..., 1].reshape(M0)
-    con = proj.conics.reshape(M0, 3)
-    rx, ry = conic_ellipse_radii(con[:, 0], con[:, 1], con[:, 2])
-    valid = proj.valid.reshape(M0)
-    sy0 = jnp.clip(jnp.floor((v - ry) / sps), 0, sh).astype(jnp.int32)
-    sy1 = jnp.clip(jnp.ceil((v + ry) / sps), 0, sh).astype(jnp.int32)
-    span_y = jnp.maximum(sy1 - sy0, 0)
-    if camera_model == "spherical":
-        sx0 = jnp.floor((u - rx) / sps).astype(jnp.int32)
-        sx1 = jnp.ceil((u + rx) / sps).astype(jnp.int32)
-        span_x = jnp.minimum(sx1 - sx0, sw)
-        sx0 = jnp.mod(sx0, sw)
-    else:
-        sx0 = jnp.clip(jnp.floor((u - rx) / sps), 0, sw).astype(jnp.int32)
-        sx1 = jnp.clip(jnp.ceil((u + rx) / sps), 0, sw).astype(jnp.int32)
-        span_x = jnp.maximum(sx1 - sx0, 0)
-    span_x = jnp.where(valid, span_x, 0)
-    span_y = jnp.where(valid, span_y, 0)
+    sx0, span_x, sy0, span_y = parent_spans(
+        proj, width, height, tile_size, caps.ss, camera_model)
 
     # "Parents" of the expansion. Normally one per (camera, gaussian); in
     # the supertile-SHARDED spherical path each gaussian becomes TWO
@@ -368,7 +404,8 @@ def build_stream_intersections(
 
     (sx0_s, sy0_s, span_s, kA_s, off_s, depth_s, g_of_s) = (
         seg_broadcast.expand_meta_streamed(
-            sx0_p, sy0_p, span_p, kA, offsets, depth_p, counts, EXP
+            sx0_p, sy0_p, span_p, kA, offsets, depth_p, counts, EXP,
+            slab=caps.sb_slab,
         )
     )
     slot_ids = jnp.arange(EXP, dtype=jnp.int32)
