@@ -57,6 +57,18 @@ def main():
     _, _, sw, sh_ = si_mod.supertile_grid(W, H, 16, SS_ENV)
     caps = StreamCaps.choose(N_GAUSS, 1, sw * sh_,
                              avg_supertiles_per_gaussian=3.0, ss=SS_ENV)
+    if os.environ.get("SPLAT_OBSERVED_CAPS", "1") == "1":
+        # same warm-up right-sizing bench.py does (exp_cap + sb_slab)
+        proj_w = jax.jit(lambda m, q, s, o: project_gaussians(
+            m, q, s, o, viewmats, Ks, W, H,
+            colors=jnp.zeros((N_GAUSS, 3), jnp.float32)))(*args[:4])
+        n_w = int(si_mod.build_stream_intersections(
+            proj_w, W, H, 16, caps).n_isect)
+        sb = si_mod.observed_sb_slab(proj_w, W, H, 16, caps)
+        caps = StreamCaps.choose_observed(n_w, sw * sh_, ss=SS_ENV,
+                                          sb_slab=sb)
+        print(f"observed caps: exp_cap={caps.exp_cap} sb_slab={sb}",
+              flush=True)
     cfg = StreamCfg.from_caps(caps, W, H, 16, 1, N_GAUSS)
 
     def proj_fn(means, quats, scales, opac, sh, c):

@@ -297,7 +297,14 @@ def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
     if force_path is None:
         import os
 
-        force_path = os.environ.get("SPLAT_SEG_BROADCAST", "xla")
+        force_path = os.environ.get("SPLAT_SEG_BROADCAST", "")
+        if not force_path:
+            # auto: the kernel pays per-chunk compare/matmul work
+            # proportional to the slab width — it wins only when the
+            # caller right-sized the window from observed data
+            # (StreamCaps.sb_slab via required_slab); at the default
+            # 3072 window it measures slower than the XLA path (r5).
+            force_path = "cond" if slab < SLAB else "xla"
     if force_path == "cond":
         force_path = None
     MP = sx0.shape[0]

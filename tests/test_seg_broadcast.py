@@ -115,6 +115,30 @@ def test_overflow_falls_back():
         assert np.array_equal(np.asarray(gi)[:n_isect], ri[:n_isect])
 
 
+def test_tight_slab_kernel_parity():
+    """required_slab must produce a window the coverage guard accepts,
+    and the kernel must stay exact at that (much narrower) slab — the
+    production configuration after StreamCaps right-sizing."""
+    rng = np.random.default_rng(9)
+    mp = 2500
+    prob = _random_problem(rng, mp, zero_frac=0.15, max_count=6)
+    n_isect = int(prob[4][-1] + prob[6][-1])
+    exp_cap = -(-int(n_isect + 2048) // 1024) * 1024
+    slab = SB.required_slab(prob[4], prob[6], exp_cap)
+    assert slab < SB.SLAB  # the observed window must actually shrink
+    jprob = [jnp.asarray(a) for a in prob]
+    okv, _, _ = SB.coverage_windows(jprob[4], jprob[6], exp_cap,
+                                    slab=slab)
+    assert bool(np.asarray(okv).all())
+    got = jax.jit(SB.expand_meta_streamed, static_argnums=(7, 8, 9))(
+        *jprob, exp_cap, "kernel", slab)
+    ref = _xla_reference(*[np.asarray(a) for a in prob], exp_cap)
+    for gi, ri, name in zip(
+            got, ref,
+            ["sx0", "sy0", "span", "ka", "off", "depth", "parent"]):
+        assert np.array_equal(np.asarray(gi)[:n_isect], ri[:n_isect]), name
+
+
 def test_depth_bit_exact():
     """The 3-way bf16 split must reconstruct f32 depth EXACTLY (it is a
     sort key; any rounding would reorder near-ties vs the oracle) — ON
