@@ -45,6 +45,12 @@ def main():
           f"({n_cams} cams @ {width}x{height})", flush=True)
     cfg = Config(
         max_steps=steps,
+        opacity_reg=float(os.environ.get("QB_OPA_REG", 0.0)),
+        scale_reg=float(os.environ.get("QB_SCALE_REG", 0.0)),
+        # normalized scene: cameras ~1 from origin, object surface ~0.67
+        # away — 0.2 culls the near-field floater zone without touching
+        # real content (the r5 floater investigation)
+        near_plane=float(os.environ.get("QB_NEAR", 0.2)),
         eval_steps=[steps // 2, steps],
         save_steps=[steps],
         sh_degree=3,

@@ -127,6 +127,44 @@ def make_synthetic_scene(
         rng = np.random.default_rng(seed + 1)
         c2ws[:, :3, 3] = rng.uniform(-0.3, 0.3, (n_cameras, 3))
         Ks = np.tile(np.eye(3, dtype=np.float32), (n_cameras, 1, 1))
+    elif surface:
+        # THREE interleaved rings at different heights/radii: on a single
+        # ring, the volume just in front of each camera lies OUTSIDE
+        # every other camera's frustum, so training can park floaters
+        # there that only held-out views see (measured r5: train PSNR
+        # 28.5 / val 10.3 on the single-ring surface scene, with the fog
+        # visible in val renders). Multi-ring coverage closes that
+        # blind region the way real multi-height captures do.
+        rings = [(3.0, -0.8), (2.4, -2.1), (2.7, 0.9)]
+        c2w_l, K_l = [], []
+        for j, (rad, hgt) in enumerate(rings):
+            nj = n_cameras // len(rings) + (
+                1 if j < n_cameras % len(rings) else 0)
+            c2, K2 = ring_cameras(nj, rad, hgt, 60.0, width, height)
+            c2w_l.append(c2)
+            K_l.append(K2)
+        # interleave rings so every-nth val splits span all rings
+        order = np.argsort(
+            np.concatenate([np.arange(len(c)) * len(rings) + j
+                            for j, c in enumerate(c2w_l)]))
+        c2ws = np.concatenate(c2w_l)[order]
+        Ks = np.concatenate(K_l)[order]
+        # per-camera radius/height jitter (re-aimed at the origin), like
+        # a real handheld orbit: with all cameras at ring-exact radii,
+        # the volume just in front of each camera lies outside every
+        # other frustum — a blind region where training parks floaters
+        # that only held-out views see. Radius diversity puts other
+        # cameras' frusta THROUGH each camera's near field.
+        rngc = np.random.default_rng(seed + 7)
+        eyes = c2ws[:, :3, 3]
+        radial = eyes * np.array([1.0, 0.0, 1.0])
+        rn = np.linalg.norm(radial, axis=1, keepdims=True)
+        jit_r = rngc.uniform(0.75, 1.25, (len(eyes), 1))
+        eyes = (radial / rn) * (rn * jit_r) + np.array(
+            [0.0, 1.0, 0.0]) * (eyes[:, 1:2]
+                                + rngc.uniform(-0.35, 0.35,
+                                               (len(eyes), 1)))
+        c2ws = np.stack([look_at(e, np.zeros(3)) for e in eyes])
     else:
         c2ws, Ks = ring_cameras(n_cameras, 3.0, -0.8, 60.0, width, height)
     sh0 = np.asarray(rgb_to_sh(jnp.asarray(rgb)))[:, None, :]

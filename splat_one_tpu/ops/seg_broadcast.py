@@ -297,14 +297,15 @@ def expand_meta_streamed(sx0, sy0, span, ka, offsets, depth, counts,
     if force_path is None:
         import os
 
-        force_path = os.environ.get("SPLAT_SEG_BROADCAST", "")
-        if not force_path:
-            # auto: the kernel pays per-chunk compare/matmul work
-            # proportional to the slab width — it wins only when the
-            # caller right-sized the window from observed data
-            # (StreamCaps.sb_slab via required_slab); at the default
-            # 3072 window it measures slower than the XLA path (r5).
-            force_path = "cond" if slab < SLAB else "xla"
+        force_path = os.environ.get("SPLAT_SEG_BROADCAST", "xla")
+        # Measured r5 (v5e, bench scale, observed caps): standalone the
+        # tight-slab double-buffered kernel beats the XLA expansion
+        # (38.7 vs 53.2 ms A/B) — but IN SITU the XLA scatter+gather
+        # fuses with the span math and the st-id/sort-key epilogue
+        # (isect build 31 ms) while the pallas call is a fusion barrier
+        # that materializes [EXP, 16] and re-reads it (isect build
+        # 38.9 ms). The XLA path stays the default; the kernel remains
+        # force-selectable for tests and future Mosaic fusion work.
     if force_path == "cond":
         force_path = None
     MP = sx0.shape[0]

@@ -125,17 +125,36 @@ def _kernel(nrows: int, nrp: int, unpack: bool, bounds_ref, rows_ref,
     out_ref[...] = acc[...].T
 
 
-def segment_reduce_sorted(rows: jax.Array, bounds: jax.Array,
-                          num_out: int, unpack: bool = False) -> jax.Array:
-    """Reduce key-sorted ``rows [NR+1, cap]`` (last row = key = gid+1 f32)
-    to ``[NR, num_out_padded]`` per-gaussian sums. ``bounds [NB+1]`` are the
-    slot ranges per R-gaussian block. ``num_out`` gaussians are covered by
-    ``NB = ceil(num_out / R)`` blocks; caller slices ``[:, :num_out]``.
-    With ``unpack``, each input row holds bf16x2-packed pairs and the
+def segment_reduce_rows(parts, bounds: jax.Array, num_out: int,
+                        unpack: bool = False) -> jax.Array:
+    """Reduce key-sorted rows to ``[NR, num_out_padded]`` per-gaussian
+    sums. ``parts = (payload_0 .. payload_{NR-1}, key)`` — each a [cap]
+    f32 array with cap a MULTIPLE OF CH (StreamCaps.pad_cap guarantees
+    it; saves the +CH pad copy of the old stacked entry). The rows are
+    stacked into the kernel's [nrp, cap] chunk-DMA layout here — one
+    XLA concatenate; a variadic per-row-DMA kernel was tried and
+    rejected (single-sublane VMEM DMA destinations don't tile on
+    Mosaic). key = gid+1 f32, 0 = dead slot. ``bounds [NB+1]`` are the
+    slot ranges per R-gaussian block; caller slices ``[:, :num_out]``.
+    With ``unpack``, each payload row holds bf16x2-packed pairs and the
     output has ``2*NR`` rows ordered (hi0..hi_{NR-1}, lo0..lo_{NR-1})."""
-    nr = rows.shape[0] - 1
+    nr = len(parts) - 1
+    assert parts[0].shape[0] % CH == 0, "cap must be a multiple of CH"
+    nrp = -(-(nr + 1) // 8) * 8
+    # ONE concatenate builds the sublane-aligned stack (stack-then-pad
+    # would copy the 80 MB table twice)
+    zeros = [jnp.zeros_like(parts[0])] * (nrp - nr - 1)
+    rows = jnp.stack(list(parts) + zeros, axis=0)
+    return _segment_reduce_stacked(rows, bounds, num_out, unpack=unpack,
+                                   nr=nr)
+
+
+def _segment_reduce_stacked(rows, bounds, num_out, unpack=False, nr=None):
+    if nr is None:
+        nr = rows.shape[0] - 1
     nrp = -(-(nr + 1) // 8) * 8  # sublane-aligned row count for chunk DMAs
-    rows = jnp.pad(rows, ((0, nrp - nr - 1), (0, 0)))
+    if rows.shape[0] < nrp:
+        rows = jnp.pad(rows, ((0, nrp - rows.shape[0]), (0, 0)))
     nb = -(-num_out // R)
     n_out = 2 * nr if unpack else nr
     kernel = functools.partial(_kernel, nr, nrp, unpack)
@@ -156,3 +175,14 @@ def segment_reduce_sorted(rows: jax.Array, bounds: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n_out, nb * R), jnp.float32),
         interpret=_use_interpret(),
     )(bounds, rows)
+
+
+def segment_reduce_sorted(rows: jax.Array, bounds: jax.Array,
+                          num_out: int, unpack: bool = False) -> jax.Array:
+    """Stacked-layout entry: rows [NR+1, cap] with the key LAST; cap is
+    padded up to a CH multiple here (legacy A/B-script entry)."""
+    cap = rows.shape[1]
+    pad = (-cap) % CH
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return _segment_reduce_stacked(rows, bounds, num_out, unpack=unpack)

@@ -110,8 +110,12 @@ class StreamCaps:
         """Rows of the aligned pgrad buffer. The backward writes each
         supertile's gradient chunks from a 128-aligned base before its raw
         start, so a supertile needs ceil((start % G + count) / G) * G rows
-        — up to 2G-1 more than its count."""
-        return self.exp_cap + 2 * self.n_supertiles * self.chunk
+        — up to 2G-1 more than its count. Rounded to a multiple of the
+        reduce kernel's 1024-slot chunk so ops.seg_reduce can stream the
+        sorted rows directly (no +CH pad copy; the over-read of the last
+        block stays in bounds)."""
+        raw = self.exp_cap + 2 * self.n_supertiles * self.chunk
+        return -(-raw // 1024) * 1024
 
     @property
     def packed_rows(self) -> int:
@@ -429,14 +433,36 @@ def build_stream_intersections(
         slot_ok &= (st_id >= 0) & (st_id < CS)
     st_id = jnp.where(slot_ok, st_id, CS).astype(jnp.int32)
 
-    # 4. ONE stable two-key sort: (supertile, depth), payload = gaussian.
-    # Stability breaks depth ties by expansion order == original index order
-    # (matching the oracle's stable per-camera depth argsort; the two
-    # segments of one gaussian never share a supertile, so segmentation
-    # cannot reorder ties).
-    sorted_st, _, sorted_g = jax.lax.sort(
-        [st_id, depth_s, g_real_s], is_stable=True, num_keys=2
-    )
+    # 4. ONE sort grouping by supertile, depth-ordered within. Two
+    # equivalent-cost regimes (measured r5, 2.57M slots, v5e):
+    #  - fused single u32 key [st_id | depth-rank-bits] with the gaussian
+    #    index as a deterministic second key (~3-4 ms): depth rides as
+    #    its top (32 - st_bits) bitcast bits — positive f32s order like
+    #    their bits — so ties beyond ~2^-13 relative depth resolve by
+    #    original index (= expansion order, matching the stable sort's
+    #    tie rule; sub-quantum swaps are the only divergence from the
+    #    oracle's exact-depth order).
+    #  - exact stable two-key (st, depth) sort (8.1 ms) when CS is too
+    #    large for 10 supertile bits or SPLAT_FUSED_SORT=0.
+    import os
+
+    # default OFF: the ~2^-13 depth quantization swaps near-tie
+    # composite order and breaks the 1e-5 oracle-parity bar (measured
+    # rel 2.9e-3 on the parity scene); opt-in for throughput-over-parity
+    # deployments only.
+    fused_ok = (CS + 1) <= (1 << 10) and os.environ.get(
+        "SPLAT_FUSED_SORT", "0") == "1"
+    if fused_ok:
+        db = jax.lax.bitcast_convert_type(depth_s, jnp.uint32) >> 10
+        key = (st_id.astype(jnp.uint32) << 22) | db
+        sorted_key, sorted_g = jax.lax.sort(
+            [key, g_real_s], is_stable=False, num_keys=2
+        )
+        sorted_st = (sorted_key >> 22).astype(jnp.int32)
+    else:
+        sorted_st, _, sorted_g = jax.lax.sort(
+            [st_id, depth_s, g_real_s], is_stable=True, num_keys=2
+        )
 
     # 5. per-supertile ranges + G-aligned grad-row starts (scalars only).
     # The kernels chunk each supertile's stream from the 128-aligned base
@@ -501,15 +527,16 @@ def reduce_stream_grads(
         [pgrads[key_row]] + [pgrads[i] for i in range(n_rows)],
         is_stable=False, num_keys=1,
     )
-    rows = jnp.stack(list(parts[1:]) + [parts[0]], axis=0)
-    rows = jnp.pad(rows, ((0, 0), (0, seg_reduce.CH)))
     nb = -(-num_flat // seg_reduce.R)
     queries = (jnp.arange(nb + 1, dtype=jnp.int32) * seg_reduce.R
                ).astype(jnp.float32) + 1.0
     bounds = jnp.searchsorted(parts[0], queries, side="left").astype(
         jnp.int32)
-    out = seg_reduce.segment_reduce_sorted(rows, bounds, num_flat,
-                                           unpack=packed)
+    # sort outputs feed the reduce kernel DIRECTLY (payloads..., key) —
+    # pad_cap is a CH multiple, so no stack/pad copies (measured r5:
+    # the stacked layout cost ~5.6 ms/step at bench scale)
+    out = seg_reduce.segment_reduce_rows(
+        list(parts[1:]) + [parts[0]], bounds, num_flat, unpack=packed)
     if packed:
         # kernel output row order is (hi0..hi_{p-1}, lo0..lo_{p-1}) with
         # pair i = (GCOL 2i, GCOL 2i+1); GCOL c therefore lives at kernel

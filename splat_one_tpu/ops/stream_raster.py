@@ -117,8 +117,11 @@ class StreamCfg:
     @property
     def pad_cap(self):
         # bwd rows per supertile: ceil((start % G + count) / G) * G, which
-        # can exceed count by up to 2G-1 (cs = grid size = supertile count)
-        return self.exp_cap + 2 * self.cs * self.chunk
+        # can exceed count by up to 2G-1 (cs = grid size = supertile
+        # count); rounded to the reduce kernel's 1024 chunk (zero-copy
+        # sort->segreduce handoff, see StreamCaps.pad_cap)
+        raw = self.exp_cap + 2 * self.cs * self.chunk
+        return -(-raw // 1024) * 1024
 
     @property
     def packed_rows(self):
