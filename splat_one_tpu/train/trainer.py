@@ -90,6 +90,22 @@ class Trainer:
         cfg = self.cfg
         self.mesh = mesh
         self.scene = scene
+        if scene.camera_model and scene.camera_model != cfg.camera_model:
+            # The DATA's camera model is authoritative: rendering through
+            # a mismatched projection can still fit the training views
+            # (the optimizer memorizes each view through the wrong
+            # mapping) while held-out views collapse to fog. Diagnosed
+            # r5: three rounds of quality-bench val PSNR stuck at 10-16
+            # because Config's reference-parity default ("spherical",
+            # the reference is a 360-first app) silently overrode
+            # pinhole synthetic scenes.
+            import logging
+
+            logging.getLogger("splat_one_tpu").warning(
+                "camera_model mismatch: scene=%s cfg=%s — using the "
+                "scene's model", scene.camera_model, cfg.camera_model,
+            )
+            cfg.camera_model = scene.camera_model
         self.result_dir = result_dir or cfg.result_dir
         os.makedirs(self.result_dir, exist_ok=True)
         for sub in ("ckpts", "stats", "renders", "videos"):

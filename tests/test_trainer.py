@@ -541,3 +541,54 @@ class TestBilateralCP4D:
         aff = BG.slice_cp4d(params, jnp.zeros((4, 5, 3)),
                             jnp.full((4, 5, 3), 0.5))
         assert aff.shape == (4, 5, 3, 4)
+
+
+class TestCameraModelResolution:
+    def test_scene_camera_model_overrides_config_default(self, tmp_path):
+        """Regression (r5): Config.camera_model defaults to "spherical"
+        (reference parity — the reference is a 360-first app), and a
+        DEFAULT config silently rendered pinhole scenes through the
+        equirect projection. Training still fit the train views (the
+        optimizer memorizes each view through the wrong mapping) while
+        held-out views collapsed to fog — three rounds of quality-bench
+        val PSNR stuck at 10-16. The scene's camera model is
+        authoritative: injecting the exact GT params must reproduce the
+        GT images through the trainer's own eval path."""
+        from splat_one_tpu.core.sh import rgb_to_sh
+        from splat_one_tpu.train import losses as L
+
+        scene, gt = make_synthetic_scene(
+            n_gaussians=800, n_cameras=6, width=96, height=96,
+            n_points=100, seed=0, surface=True,
+        )
+        cfg = Config(  # NOTE: camera_model deliberately NOT set
+            max_steps=1, capacity=1024, test_every=6,
+            result_dir=str(tmp_path), sh_degree=0,
+        )
+        tr = Trainer(cfg, scene)
+        assert tr.cfg.camera_model == "pinhole"
+
+        p = {k: v for k, v in tr.state.params.items()}
+        n, cap = 800, 1024
+        pad = cap - n
+
+        def padv(x, fill):
+            x = np.asarray(x, np.float32)
+            return jnp.asarray(np.concatenate(
+                [x, np.full((pad,) + x.shape[1:], fill, np.float32)]))
+
+        op = np.clip(gt["opacities"], 1e-4, 1 - 1e-4)
+        p["means"] = padv(gt["means"], 0.0)
+        p["quats"] = padv(gt["quats"], 1.0)
+        p["scales"] = padv(np.log(gt["scales"]), -15.0)
+        p["opacities"] = padv(np.log(op / (1 - op)), -15.0)
+        p["sh0"] = padv(
+            np.asarray(rgb_to_sh(jnp.asarray(gt["rgb"])))[:, None, :], 0.0)
+        state = tr.state._replace(
+            params=p, alive=jnp.asarray(np.arange(cap) < n))
+        for idx in (int(tr.train_idx[0]), int(tr.val_idx[0])):
+            b = tr._batch(np.array([idx]))
+            rgb, _, _ = tr._eval_render(
+                state, b["camtoworld"], b["K"], b["image_id"])
+            psnr = float(L.psnr(rgb, b["image"]))
+            assert psnr > 40.0, (idx, psnr)
