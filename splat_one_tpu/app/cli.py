@@ -56,6 +56,11 @@ def main(argv=None):
             sp.add_argument("--order-neighbors", type=int, default=0)
             sp.add_argument("--gps-neighbors", type=int, default=0)
             sp.add_argument("--vlad-neighbors", type=int, default=0)
+            sp.add_argument(
+                "--matching-type", default="bruteforce",
+                choices=["bruteforce", "flann", "lightglue"],
+            )
+            sp.add_argument("--lightglue-checkpoint", default=None)
         if name in ("reconstruct", "run-all"):
             sp.add_argument("--live-viewer-port", type=int, default=0)
             sp.add_argument("--bundle-use-gps", action="store_true")
@@ -137,6 +142,8 @@ def main(argv=None):
             order_neighbors=args.order_neighbors,
             gps_neighbors=args.gps_neighbors,
             vlad_neighbors=args.vlad_neighbors,
+            matching_type=args.matching_type,
+            lightglue_checkpoint=args.lightglue_checkpoint,
             progress=_progress("matching"),
         )
         print(f"matched {n} pairs")

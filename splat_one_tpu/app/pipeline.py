@@ -251,9 +251,26 @@ def match_features(
     order_neighbors: int = 0,
     gps_neighbors: int = 0,
     vlad_neighbors: int = 0,
+    matching_type: str = "bruteforce",
+    lightglue_checkpoint: str = None,
     progress: ProgressFn = None,
 ) -> int:
-    """features/ -> matches/matches.json (robust-filtered pairs)."""
+    """features/ -> matches/matches.json (robust-filtered pairs).
+
+    ``matching_type`` mirrors the reference's matcher menu
+    (app/feature_matching.py:96 — Brute-Force / FLANN / LIGHTGLUE):
+
+    - "bruteforce" (default): batched mutual-NN + Lowe ratio, one
+      descriptor matmul per pair on the MXU, vmapped over pairs.
+    - "flann": accepted alias of the same exact path. FLANN exists to
+      approximate NN search cheaply on CPUs; on the MXU the EXACT
+      all-pairs matmul is already faster than approximate indexing, so
+      the approximation would only lose matches.
+    - "lightglue": learned attention matcher (models.lightglue_tpu) —
+      the checkpoint-faithful official forward when a converted
+      checkpoint is supplied (``lightglue_checkpoint`` or
+      $SPLAT_LIGHTGLUE_CKPT), else the trainable LightGlue-style tier.
+    """
     import jax
 
     from splat_one_tpu.app.image_processing import ImageProcessor
@@ -306,9 +323,46 @@ def match_features(
     )
     descs = [feats[n]["descriptors"] for n in images]
     valids = [feats[n]["valid"] for n in images]
-    raw = M.match_pairs_batched(
-        descs, valids, pairs, ratio=lowes_ratio, progress_callback=progress
-    )
+    mt = matching_type.replace("-", "").replace("_", "").lower()
+    if mt == "lightglue":
+        from splat_one_tpu.models import lightglue_tpu as LG
+
+        ckpt = lightglue_checkpoint or os.environ.get(
+            "SPLAT_LIGHTGLUE_CKPT")
+        params = LG.load_lightglue(
+            ckpt, desc_dim=descs[0].shape[1])
+        faithful = "input_proj.weight" in params
+        raw = {}
+        for npair, (i, j) in enumerate(pairs):
+            fi, fj = feats[images[i]], feats[images[j]]
+            size_i = (int(fi["width"]), int(fi["height"]))
+            size_j = (int(fj["width"]), int(fj["height"]))
+            if faithful:
+                scores = LG.lightglue_forward_ckpt(
+                    params, fi["xys"], fj["xys"],
+                    fi["descriptors"], fj["descriptors"],
+                    size_i, size_j)
+                idx_b, ok = LG.filter_matches_ckpt(scores)
+                ok = ok & fi["valid"] & fj["valid"][idx_b]
+            else:
+                idx_b, ok = LG.match_lightglue(
+                    params, fi["descriptors"], fj["descriptors"],
+                    fi["xys"], fj["xys"], size_i, size_j,
+                    fi["valid"], fj["valid"])
+            fm = np.stack(
+                [np.flatnonzero(ok), np.asarray(idx_b)[ok]], axis=1)
+            raw[(i, j)] = fm
+            if progress:
+                progress(npair + 1, len(pairs))
+    else:
+        if mt not in ("bruteforce", "flann"):
+            raise ValueError(
+                f"matching_type {matching_type!r}: expected "
+                "Brute-Force | FLANN | LIGHTGLUE")
+        raw = M.match_pairs_batched(
+            descs, valids, pairs, ratio=lowes_ratio,
+            progress_callback=progress
+        )
     # resolution-aware verification threshold (same cure as reconstruct's
     # outlier_threshold, r3): the fixed 0.008 rad default is ~2 detection
     # pixels at 256 px / 60 deg — loose enough that contaminated matches

@@ -266,3 +266,31 @@ class TestDepthStage:
         dep = np.load(wd / "depth" / "a_depth.npy")
         assert dep.shape == (32, 48)
         assert (wd / "depth" / "a_depth.png").exists()
+
+
+class TestMatchingTypes:
+    def test_lightglue_and_flann_matcher_menu(self, workdir):
+        """The reference's matcher menu (app/feature_matching.py:96:
+        Brute-Force | FLANN | LIGHTGLUE) must be selectable. FLANN is an
+        accepted alias of the exact batched path (approximate NN has no
+        value on the MXU); LIGHTGLUE routes through
+        models.lightglue_tpu (style tier without a checkpoint) and must
+        produce a valid matches.json the tracker can consume."""
+        wd, _, _ = workdir
+        from splat_one_tpu.app import pipeline
+
+        if not os.path.exists(os.path.join(wd, "features")):
+            pipeline.extract_metadata(wd)
+            pipeline.detect_features(
+                wd, max_keypoints=500, feature_process_size=256)
+        n_flann = pipeline.match_features(wd, matching_type="FLANN")
+        assert n_flann > 5
+        n_lg = pipeline.match_features(wd, matching_type="lightglue")
+        with open(os.path.join(wd, "matches", "matches.json")) as f:
+            matches = json.load(f)
+        assert len(matches) == n_lg
+        for fm in matches.values():
+            fm = np.asarray(fm)
+            assert fm.ndim == 2 and fm.shape[1] == 2
+        with pytest.raises(ValueError):
+            pipeline.match_features(wd, matching_type="kdtree")
