@@ -30,6 +30,12 @@ def main():
     # identifiable from a few dozen views (train PSNR 31 / val 10.6 fog)
     # so val PSNR on it measures the scene, not the trainer.
     scene_kind = os.environ.get("QB_SCENE", "surface")
+    # "pinhole" (default) or "spherical": the reference is a 360-first
+    # app, so the equirect path gets its own quality row — cameras sit
+    # INSIDE the surface shell looking out (a painted panorama sphere),
+    # which is identifiable from few views since each pano sees
+    # everything.
+    cam_model = os.environ.get("QB_CAM", "pinhole")
 
     from splat_one_tpu.data.synthetic import make_synthetic_scene
     from splat_one_tpu.train.config import Config
@@ -40,6 +46,7 @@ def main():
     scene, _ = make_synthetic_scene(
         n_gaussians=n_gauss, n_cameras=n_cams, width=width, height=height,
         n_points=4000, seed=0, surface=(scene_kind == "surface"),
+        camera_model=cam_model,
     )
     print(f"scene built in {time.time() - t0:.1f}s "
           f"({n_cams} cams @ {width}x{height})", flush=True)
@@ -104,7 +111,7 @@ def main():
         tpsnrs.append(float(L.psnr(rgb, b["image"])))
     out = {
         "width": width, "height": height, "gt_gaussians": n_gauss,
-        "scene": scene_kind, "n_cams": n_cams,
+        "scene": scene_kind, "n_cams": n_cams, "camera_model": cam_model,
         "steps": steps, "train_s": round(dt, 1),
         "steps_per_s": round(steps / dt, 2),
         "final_loss": hist[-1]["loss"] if hist else None,
