@@ -180,7 +180,8 @@ def build_intersections(
 
     # 2. tile spans + per-gaussian meta table (single row gather later).
     con0 = proj.conics.reshape(M0, 3)
-    rx0, ry0 = conic_ellipse_radii(con0[:, 0], con0[:, 1], con0[:, 2])
+    rx0, ry0 = conic_ellipse_radii(
+        con0[:, 0], con0[:, 1], con0[:, 2], proj.opacities.reshape(M0))
     geo = jnp.concatenate(
         [
             proj.means2d.reshape(M0, 2),

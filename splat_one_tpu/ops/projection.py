@@ -26,21 +26,51 @@ from splat_one_tpu.core.transforms import quat_to_rotmat
 
 EPS2D = 0.3  # standard 3DGS screen-space low-pass filter
 
+# In-kernel contribution cutoff (gsplat's 1/255): must equal
+# ops.reference.ALPHA_MIN — reference.py asserts the match at import.
+ALPHA_CUT = 1.0 / 255.0
 
-def conic_ellipse_radii(a: jax.Array, b: jax.Array, c: jax.Array):
-    """Axis-aligned half-extents (rx, ry) of the 3-sigma ellipse level set,
-    from CONIC entries (a, b, c) = inverse 2D covariance.
+
+def opacity_extent(opacity: jax.Array) -> jax.Array:
+    """Per-gaussian membership extent in SIGMAS: min(3, sqrt(2 ln(opa/A)))
+    with A = ALPHA_CUT (1/255).
+
+    Every compositing path kills contributions with
+    ``alpha = opa * exp(-sigma) < ALPHA_CUT`` (the gsplat 1/255 cutoff), so
+    a gaussian with opacity ``opa`` is invisible beyond
+    ``sigma > ln(opa / A)`` — i.e. beyond ``sqrt(2 ln(255 opa))`` sigmas.
+    Tightening tile membership to that level set (capped at the classic 3
+    sigma) drops ONLY slots whose every pixel the kernels would kill
+    anyway: renders and grads are bit-identical while the intersection
+    row count — which every rate-bound glue stage (scatter, gathers,
+    sorts, reduce) scales with — shrinks, dramatically so on trained
+    scenes where densification/opacity-reset leave many low-opacity
+    splats. The +1e-3 sigma margin absorbs float rounding between this
+    expression and the kernels' per-pixel sigma evaluation."""
+    s2 = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * (1.0 / ALPHA_CUT))
+    return jnp.minimum(3.0, jnp.sqrt(jnp.maximum(s2, 0.0)) + 1e-3)
+
+
+def conic_ellipse_radii(a: jax.Array, b: jax.Array, c: jax.Array,
+                        opacity: jax.Array | None = None):
+    """Axis-aligned half-extents (rx, ry) of the membership-ellipse level
+    set, from CONIC entries (a, b, c) = inverse 2D covariance.
 
     cov = inv([[a, b], [b, c]]) => cov_xx = c/det, cov_yy = a/det with
-    det = a*c - b^2; the 3-sigma set {q <= 4.5} has extent 3*sqrt(cov_xx)
-    in x. This is the ONE membership-radius definition shared by the
+    det = a*c - b^2; the s-sigma set {q <= s^2/2} has extent s*sqrt(cov_xx)
+    in x. Without ``opacity`` s = 3 (the classic 3-sigma bbox); with it
+    s = ``opacity_extent(opacity)`` — the tighter of 3 sigma and the
+    opacity's own 1/255-visibility radius (exact: see opacity_extent).
+    This is the ONE membership-radius definition shared by the
     supertile-stream builder, the stream kernels' per-tile test, the gen-1
     tile-list builder and the oracle compositor — all must make identical
-    in/out decisions on the same conic floats, so they all call this."""
+    in/out decisions on the same conic/opacity floats, so they all call
+    this (and all pass ``opacity``)."""
     det = jnp.maximum(a * c - b * b, 1e-30)
     inv = 1.0 / det
-    rx = 3.0 * jnp.sqrt(jnp.maximum(c * inv, 0.0))
-    ry = 3.0 * jnp.sqrt(jnp.maximum(a * inv, 0.0))
+    s = 3.0 if opacity is None else opacity_extent(opacity)
+    rx = s * jnp.sqrt(jnp.maximum(c * inv, 0.0))
+    ry = s * jnp.sqrt(jnp.maximum(a * inv, 0.0))
     return rx, ry
 
 
@@ -230,9 +260,10 @@ def project_gaussians(
         # Cull gaussians whose ellipse bbox misses the image entirely
         # (tighter than the circumscribed circle; spherical wraps in
         # azimuth, so only cull on v there). rx/ry here are the cov-diagonal
-        # form of conic_ellipse_radii — same 3-sigma extents.
-        rx = 3.0 * jnp.sqrt(jnp.maximum(ca, 0.0))
-        ry = 3.0 * jnp.sqrt(jnp.maximum(cc, 0.0))
+        # form of conic_ellipse_radii — same opacity-aware extents.
+        ext = opacity_extent(opac)
+        rx = ext * jnp.sqrt(jnp.maximum(ca, 0.0))
+        ry = ext * jnp.sqrt(jnp.maximum(cc, 0.0))
         u, v = uv[:, 0], uv[:, 1]
         inside_v = (v + ry > 0) & (v - ry < height)
         if camera_model == "spherical":

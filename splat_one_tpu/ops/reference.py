@@ -23,9 +23,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from splat_one_tpu.ops.projection import Projected, conic_ellipse_radii
+from splat_one_tpu.ops.projection import (ALPHA_CUT, Projected,
+                                          conic_ellipse_radii)
 
-ALPHA_MIN = 1.0 / 255.0
+ALPHA_MIN = ALPHA_CUT  # 1/255 — also drives projection.opacity_extent
 ALPHA_MAX = 0.999
 
 
@@ -96,11 +97,11 @@ def composite_reference(
             alpha = jnp.where(sigma < 0, 0.0, alpha)
             alpha = jnp.minimum(alpha, ALPHA_MAX)
             alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
-            # tile-bbox truncation: per-axis 3-sigma ellipse extents,
+            # tile-bbox truncation: per-axis opacity-aware ellipse extents,
             # identical float math to the tile/supertile list builders and
             # the stream kernels (projection.conic_ellipse_radii)
             u, v = xy_c[:, 0:1], xy_c[:, 1:2]
-            rx, ry = conic_ellipse_radii(a, b, c)
+            rx, ry = conic_ellipse_radii(a, b, c, o[:, None])
             ty0 = jnp.clip(jnp.floor((v - ry) / tile_size), 0, TH)
             ty1 = jnp.clip(jnp.ceil((v + ry) / tile_size), 0, TH)
             in_y = (pty[None, :] >= ty0) & (pty[None, :] < ty1)

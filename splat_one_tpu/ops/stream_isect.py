@@ -250,11 +250,14 @@ def parent_spans(proj: Projected, width: int, height: int, tile_size: int,
     """Per-(camera, gaussian) supertile bbox spans in original [C, N]
     order (no depth pre-sort): returns (sx0, span_x, sy0, span_y).
 
-    Membership uses the per-axis 3-sigma ELLIPSE extents (rx, ry) — a
-    strict subset of the circumscribed-circle bbox, ~25-40% fewer rows
-    through every rate-bound glue stage for anisotropic gaussians. The
-    kernels' per-tile test and the oracle share the same expression
-    (projection.conic_ellipse_radii) on the same conic floats."""
+    Membership uses the per-axis opacity-aware ELLIPSE extents (rx, ry) —
+    a strict subset of the circumscribed-circle 3-sigma bbox: the ellipse
+    gate cuts ~25-40% of rows for anisotropic gaussians, and the opacity
+    term (projection.opacity_extent) drops slots the kernels' 1/255 alpha
+    cutoff would kill anyway (bit-identical output, large row cuts on
+    low-opacity trained scenes). The kernels' per-tile test and the oracle
+    share the same expression (projection.conic_ellipse_radii) on the same
+    conic/opacity floats."""
     from splat_one_tpu.ops.projection import conic_ellipse_radii
 
     C, N = proj.depths.shape
@@ -264,7 +267,8 @@ def parent_spans(proj: Projected, width: int, height: int, tile_size: int,
     u = proj.means2d[..., 0].reshape(M0)
     v = proj.means2d[..., 1].reshape(M0)
     con = proj.conics.reshape(M0, 3)
-    rx, ry = conic_ellipse_radii(con[:, 0], con[:, 1], con[:, 2])
+    rx, ry = conic_ellipse_radii(
+        con[:, 0], con[:, 1], con[:, 2], proj.opacities.reshape(M0))
     valid = proj.valid.reshape(M0)
     sy0 = jnp.clip(jnp.floor((v - ry) / sps), 0, sh).astype(jnp.int32)
     sy1 = jnp.clip(jnp.ceil((v + ry) / sps), 0, sh).astype(jnp.int32)

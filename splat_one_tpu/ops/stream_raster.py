@@ -237,6 +237,7 @@ def _chunk_bbox(cfg: StreamCfg, chunk, tx, ty, rowmask):
         chunk[si.COL_CA, :].reshape(G, 1),
         chunk[si.COL_CB, :].reshape(G, 1),
         chunk[si.COL_CC, :].reshape(G, 1),
+        chunk[si.COL_OPAC, :].reshape(G, 1),
     )
     txf = tx.astype(jnp.float32) if hasattr(tx, "astype") else float(tx)
     tyf = ty.astype(jnp.float32) if hasattr(ty, "astype") else float(ty)

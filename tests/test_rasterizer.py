@@ -110,7 +110,8 @@ class TestIntersect:
         con = np.asarray(proj.conics)[0]
         rx_a, ry_a = conic_ellipse_radii(
             jnp.asarray(con[:, 0]), jnp.asarray(con[:, 1]),
-            jnp.asarray(con[:, 2]))
+            jnp.asarray(con[:, 2]),
+            jnp.asarray(np.asarray(proj.opacities)[0]))
         rx_a, ry_a = np.asarray(rx_a), np.asarray(ry_a)
         valid = np.asarray(proj.valid)[0]
         TW = W // TS

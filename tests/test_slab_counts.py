@@ -15,7 +15,9 @@ from splat_one_tpu.ops.projection import Projected
 
 def _proj_from_boxes(ctrs, rads, depths, C, N, W, H, valid=None):
     """Build a minimal Projected with given screen centers/radii."""
-    z = np.zeros((C, N), np.float32)
+    # opacity 1 => opacity_extent == 3.0 exactly, so the isotropic-conic
+    # radius calibration below stays exact under opacity-aware extents
+    z = np.ones((C, N), np.float32)
     if valid is None:
         valid = np.ones((C, N), bool)
     # membership radii now derive from the conic (3-sigma ellipse): an
@@ -33,13 +35,15 @@ def _proj_from_boxes(ctrs, rads, depths, C, N, W, H, valid=None):
     )
 
 
-def _effective_radii(conics):
-    """The exact f32 radii the builder derives from the conic."""
+def _effective_radii(conics, opacities=None):
+    """The exact f32 radii the builder derives from the conic/opacity."""
     from splat_one_tpu.ops.projection import conic_ellipse_radii
 
+    if opacities is None:
+        opacities = np.ones(conics.shape[:-1], np.float32)
     rx, ry = conic_ellipse_radii(
         jnp.asarray(conics[..., 0]), jnp.asarray(conics[..., 1]),
-        jnp.asarray(conics[..., 2]))
+        jnp.asarray(conics[..., 2]), jnp.asarray(opacities))
     return np.asarray(rx), np.asarray(ry)
 
 
