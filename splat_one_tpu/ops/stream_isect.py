@@ -63,6 +63,12 @@ COL_B = 8
 COL_DEPTH = 9
 COL_RADIUS = 10  # 3-sigma screen radius: exact per-TILE bbox membership
 COL_GID = 11  # flat [C*N) gaussian id (exact f32; the reduce-by-key key)
+# Per-axis membership-ellipse extents (projection.conic_ellipse_radii with
+# the opacity-aware extent), precomputed ONCE per gaussian so the kernels'
+# per-(chunk, tile) bbox gate is pure compares — the same floats the
+# builder and the oracle test against.
+COL_EXT_RX = 12
+COL_EXT_RY = 13
 NF = 16  # padded power-of-two width
 
 # Backward gradient column layout (same [*, NF] shape).
@@ -206,17 +212,24 @@ def build_field_columns(means2d, conics, opacities, colors, depths,
     """[M0, NF] packed field table from raw [C, N, ...] arrays — the ONE
     definition of the COL_* column layout the kernels index. Pure
     elementwise; XLA fuses it into the projection epilogue."""
+    from splat_one_tpu.ops.projection import conic_ellipse_radii
+
     C, N = opacities.shape
     M0 = C * N
+    con = conics.reshape(M0, 3)
+    ext_rx, ext_ry = conic_ellipse_radii(
+        con[:, 0], con[:, 1], con[:, 2], opacities.reshape(M0))
     cols = jnp.concatenate(
         [
             means2d.reshape(M0, 2),
-            conics.reshape(M0, 3),
+            con,
             opacities.reshape(M0, 1),
             colors.reshape(M0, 3),
             depths.reshape(M0, 1),
             radii.reshape(M0, 1),
             jnp.arange(M0, dtype=jnp.float32).reshape(M0, 1),  # COL_GID
+            ext_rx.reshape(M0, 1),
+            ext_ry.reshape(M0, 1),
         ],
         axis=1,
     )

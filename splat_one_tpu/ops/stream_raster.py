@@ -222,23 +222,20 @@ def _mm_split(a, b, dims):
 
 def _chunk_bbox(cfg: StreamCfg, chunk, tx, ty, rowmask):
     """Cheap per-slot [G, 1] tile-membership mask for one chunk against one
-    tile: per-TILE 3-sigma ELLIPSE bbox (conic_ellipse_radii on the chunk's
+    tile: per-TILE opacity-aware ELLIPSE bbox (conic_ellipse_radii on the chunk's
     own conic columns — identical float math to the supertile-list builder
     and the oracle) AND ``rowmask`` (slots outside the supertile's stream
     range from 128-aligned chunk-base over-read). Gates the heavy per-pixel
     work: a tile most chunks' slots miss is skipped entirely."""
-    from splat_one_tpu.ops.projection import conic_ellipse_radii
-
     G = cfg.chunk
     ts = float(cfg.tile_size)
     x = chunk[si.COL_X, :].reshape(G, 1)
     y = chunk[si.COL_Y, :].reshape(G, 1)
-    rx, ry = conic_ellipse_radii(
-        chunk[si.COL_CA, :].reshape(G, 1),
-        chunk[si.COL_CB, :].reshape(G, 1),
-        chunk[si.COL_CC, :].reshape(G, 1),
-        chunk[si.COL_OPAC, :].reshape(G, 1),
-    )
+    # extents precomputed once per gaussian at pack time (COL_EXT_*) — the
+    # same conic_ellipse_radii floats the builder and the oracle use; the
+    # per-(chunk, tile) gate here is pure compares.
+    rx = chunk[si.COL_EXT_RX, :].reshape(G, 1)
+    ry = chunk[si.COL_EXT_RY, :].reshape(G, 1)
     txf = tx.astype(jnp.float32) if hasattr(tx, "astype") else float(tx)
     tyf = ty.astype(jnp.float32) if hasattr(ty, "astype") else float(ty)
     in_y = (tyf >= jnp.floor((y - ry) / ts)) & (

@@ -101,3 +101,60 @@ def test_stream_empty_scene():
     loss, g = jax.jit(jax.value_and_grad(loss_fn))(means)
     assert np.asarray(loss) == 0.0
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_opacity_extent_drops_only_invisible():
+    """The opacity-aware membership extent (projection.opacity_extent) is
+    exact: alpha at and beyond the extent is below the 1/255 kill
+    threshold for every opacity, so slots it drops contributed exactly
+    zero. Also pins the analytic properties: capped at 3 sigma, monotone
+    in opacity, and == 3.0 for opacities above e^{-4.5}*255... (i.e. the
+    classic bbox is unchanged for high-opacity gaussians)."""
+    from splat_one_tpu.ops.projection import ALPHA_CUT, opacity_extent
+    from splat_one_tpu.ops.reference import ALPHA_MIN
+
+    assert ALPHA_CUT == ALPHA_MIN
+    op = jnp.asarray(
+        np.r_[np.geomspace(1e-6, 1.0, 64), 1.0 / 255.0, 0.3527, 1.0],
+        dtype=jnp.float32)
+    s = np.asarray(opacity_extent(op))
+    assert (s <= 3.0 + 1e-6).all()
+    assert (np.diff(s[np.argsort(np.asarray(op))]) >= -1e-6).all()
+    # alpha AT the extent boundary never exceeds the kill threshold
+    # (up to the 1e-3-sigma safety margin's worth of slack)
+    alpha_at = np.asarray(op) * np.exp(-0.5 * np.minimum(s, 2.999) ** 2)
+    visible = np.asarray(op) > ALPHA_MIN
+    capped = s >= 3.0 - 1e-6
+    assert (alpha_at[visible & ~capped] <= ALPHA_MIN + 1e-7).all()
+    # high opacities keep the full classic 3-sigma bbox
+    assert s[-1] == 3.0 and np.asarray(opacity_extent(0.5)) == 3.0
+
+
+def test_stream_low_opacity_parity():
+    """Parity vs the tiled/oracle-verified path on a scene dominated by
+    near-cutoff opacities — the regime where opacity-aware extents drop
+    the most intersection rows; any over-tight extent shows up here."""
+    means, quats, scales, opac, colors, viewmats, Ks, w, h = _scene(
+        n=500, c=1, seed=11)
+    rng = np.random.default_rng(12)
+    opac = jnp.asarray(
+        rng.uniform(0.002, 0.08, opac.shape).astype(np.float32))
+
+    def loss_fn(impl, m, q, s, o, c):
+        render, alpha, info = rasterization(
+            m, q, s, o, c, viewmats, Ks, w, h, render_mode="RGB",
+            impl=impl)
+        wts = jnp.linspace(0.5, 1.5, render.size).reshape(render.shape)
+        return jnp.sum(render * wts), render
+
+    outs = {}
+    for impl in ("stream", "tiled"):
+        f = jax.jit(jax.value_and_grad(
+            lambda *a: loss_fn(impl, *a), argnums=(0, 2, 3), has_aux=True))
+        (loss, render), grads = f(means, quats, scales, opac, colors)
+        outs[impl] = (np.asarray(render), [np.asarray(g) for g in grads])
+    r_s, g_s = outs["stream"]
+    r_t, g_t = outs["tiled"]
+    assert np.abs(r_s - r_t).max() < 1e-5
+    for name, a, b in zip(("means", "scales", "opac"), g_s, g_t):
+        _assert_close(f"grad[{name}]", a, b, 1e-4)
